@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""CLI driver — the reference's public UX, backed by the TPU-native engine.
+
+``python run.py <name> --dataset linear_gaussian ...`` with the exact flag
+surface of /root/reference/run.py:8-43 (see vae_training_tpu/config.py),
+plus TPU flags (--mesh, --kernels, --resume, --profile).
+
+Pipeline mirrors /root/reference/run.py:350-369: output dir + args.json →
+dataset → model/trainer → train → plot → final save. ``-nojit`` disables
+compilation for step-through debugging; ``--debug_nans`` enables
+jax_debug_nans (the TPU-era analogue).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from vae_training_tpu.config import RunConfig, parse_arguments
+from vae_training_tpu.data import get_dataset
+from vae_training_tpu.runio import make_output_dir
+from vae_training_tpu.train import Trainer
+
+
+def main(cfg: RunConfig) -> int:
+    cfg.validate()
+    output_dir = make_output_dir(cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir)
+    dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
+    trainer = Trainer(cfg, dataset, output_dir)
+    trainer.train()
+    trainer.plot()
+    trainer.save(final=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import jax
+
+    cfg = parse_arguments()
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.nojit:
+        with jax.disable_jit():
+            sys.exit(main(cfg))
+    else:
+        sys.exit(main(cfg))

@@ -1,0 +1,118 @@
+"""Checkpoint/resume bit-exactness and model.pkl export round-trip.
+
+Resume determinism is a design property: per-step keys derive from
+fold_in(base_key, step), so a resumed run consumes the identical random
+stream as an uninterrupted one — the state after 100+100 steps equals the
+state after 200 straight steps, bit for bit.
+"""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from vae_training_tpu.config import RunConfig
+from vae_training_tpu.data import get_dataset
+from vae_training_tpu.runio import (
+    make_output_dir,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from vae_training_tpu.runio.export import load_model_pkl, save_model_pkl
+from vae_training_tpu.train import Trainer
+
+
+def build(tmpdir, name="ck", **kw):
+    defaults = dict(
+        name=name,
+        dataset="linear_gaussian",
+        encoder_layer_sizes="",
+        layer_sizes="",
+        latent_dimension=6,
+        padding_dim=3,
+        dataset_dimension=3,
+        num_batches=200,
+        batch_size=50,
+        learning_rate=1e-3,
+        epsilon=-1.0,
+        tunable_decoder_var=True,
+        dataset_seed=2,
+        overwrite=True,
+        tqdm=False,
+        data_dir=tmpdir,
+    )
+    defaults.update(kw)
+    cfg = RunConfig(**defaults).validate()
+    out = make_output_dir(cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir)
+    ds = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
+    return Trainer(cfg, ds, out), out, cfg
+
+
+def tree_equal(a, b):
+    eq = jax.tree_util.tree_map(
+        lambda x, y: bool(np.array_equal(np.asarray(x), np.asarray(y))), a, b
+    )
+    return all(jax.tree_util.tree_leaves(eq))
+
+
+def test_resume_is_bit_exact(tmp_outdir):
+    straight, _, _ = build(tmp_outdir, "a")
+    straight.state, _ = straight.fns.train_chunk(straight.state, 200)
+
+    half, out, _ = build(tmp_outdir, "b")
+    half.state, _ = half.fns.train_chunk(half.state, 100)
+    save_checkpoint(out, half.state)
+
+    resumed, _, _ = build(tmp_outdir, "c", resume=out)
+    assert int(resumed.state.step) == 100
+    resumed.state, _ = resumed.fns.train_chunk(resumed.state, 100)
+
+    assert tree_equal(straight.state.params, resumed.state.params)
+    assert tree_equal(straight.state.opt_state, resumed.state.opt_state)
+    assert int(resumed.state.step) == 200
+
+
+def test_model_pkl_layout_and_roundtrip(tmp_outdir):
+    trainer, out, _ = build(tmp_outdir, "pkl")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 50)
+    path = os.path.join(out, "model.pkl")
+    save_model_pkl(path, jax.device_get(trainer.state.params),
+                   jax.device_get(trainer.state.opt_state))
+
+    with open(path, "rb") as f:
+        sd = pickle.load(f)
+    # Reference optimizer-state-dict layout (/root/reference/model.py:85-89)
+    assert set(sd) == {"target", "state"}
+    assert "params" in sd["target"]
+    assert set(sd["target"]["params"]) >= {"Encoder", "Decoder", "epsilon_p"}
+    assert sd["state"]["step"] == 50
+    ps = sd["state"]["param_states"]
+    any_leaf = ps["Encoder"]["FC0"]["kernel"]
+    assert set(any_leaf) == {"grad_ema", "grad_sq_ema"}
+
+    # Round-trip through --state_dict restore
+    fresh, _, _ = build(tmp_outdir, "pkl2")
+    params, opt_state = load_model_pkl(path, fresh.state.params,
+                                       fresh.state.opt_state)
+    assert tree_equal(params, trainer.state.params)
+    # Adam moments restored
+    import optax
+    def moments(s):
+        for x in jax.tree_util.tree_leaves(
+            s, is_leaf=lambda y: isinstance(y, optax.ScaleByAdamState)):
+            if isinstance(x, optax.ScaleByAdamState):
+                return x
+    m0, m1 = moments(trainer.state.opt_state), moments(opt_state)
+    assert tree_equal(m0.mu, m1.mu) and tree_equal(m0.nu, m1.nu)
+    assert int(m1.count) == 50
+
+
+def test_state_dict_flag_resumes_params(tmp_outdir):
+    trainer, out, _ = build(tmp_outdir, "sd1")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 30)
+    path = os.path.join(out, "model.pkl")
+    save_model_pkl(path, jax.device_get(trainer.state.params),
+                   jax.device_get(trainer.state.opt_state))
+    resumed, _, _ = build(tmp_outdir, "sd2", state_dict=path)
+    assert tree_equal(resumed.state.params, trainer.state.params)

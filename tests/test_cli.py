@@ -1,0 +1,94 @@
+"""CLI surface tests: flag parity with the reference, sweep-row parsing,
+end-to-end tiny runs per dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_training_tpu.config import parse_arguments
+
+
+def test_reference_sweep_row_parses():
+    # Row 1 of /root/reference/seed_linpadding_expts.sh
+    argv = [
+        "vae3linear_gaussian_12dim2", "--dataset", "linear_gaussian",
+        "--encoder_layer_sizes", "", "--layer_sizes", "", "-ow",
+        "--latent_dim", "20", "--padding_dim", "9", "-dd", "3",
+        "--num_batches", "100000", "--epsilon", "-1", "-tdv",
+        "-ds", "2", "-lr", "1e-3",
+    ]
+    cfg = parse_arguments(argv)
+    assert cfg.name == "vae3linear_gaussian_12dim2"
+    assert cfg.dataset == "linear_gaussian"
+    assert cfg.encoder_layer_sizes == "" and cfg.layer_sizes == ""
+    assert cfg.latent_dimension == 20 and cfg.padding_dim == 9
+    assert cfg.dataset_dimension == 3 and cfg.num_batches == 100000
+    assert cfg.epsilon == -1.0 and cfg.tunable_decoder_var
+    assert cfg.dataset_seed == 2 and cfg.learning_rate == 1e-3
+    assert cfg.model == "VAE" and cfg.latent_distribution == "gaussian"
+
+
+def test_sphere_sweep_row_parses():
+    argv = (
+        "sphere_dd3_pd3_ld_6_eps-3 --dataset sphere "
+        "--encoder_layer_sizes 200|200|200 --layer_sizes 200|200|200 -ow "
+        "--latent_dim 6 --padding_dim 3 -dd 3 --num_batches 150000 "
+        "--epsilon -3 -tdv"
+    ).split()
+    cfg = parse_arguments(argv)
+    assert cfg.encoder_layer_sizes == "200|200|200"
+    assert cfg.epsilon == -3.0
+
+
+def test_default_dataset_errors_clearly():
+    cfg = parse_arguments(["x"])
+    with pytest.raises(ValueError, match="4gaussian"):
+        cfg.validate()
+
+
+@pytest.mark.parametrize(
+    "dataset,extra",
+    [
+        ("linear_gaussian", ["--latent_dim", "6", "-tdv", "--epsilon", "-1"]),
+        ("sigmoid", ["--latent_dim", "6", "-tdv", "--epsilon", "-3"]),
+        ("sphere", ["--latent_dim", "4", "--encoder_layer_sizes", "16",
+                    "--layer_sizes", "16", "--epsilon", "-3", "-tdv"]),
+        ("gaussian", ["--latent_dim", "4"]),
+    ],
+)
+def test_end_to_end_tiny_run(tmp_outdir, dataset, extra):
+    from run import main
+
+    argv = [
+        f"e2e_{dataset}", "--dataset", dataset, "--num_batches", "60",
+        "--batch_size", "20", "--padding_dim", "2", "-dd", "3", "-ow",
+        "--encoder_layer_sizes", "", "--layer_sizes", "",
+        "--data_dir", tmp_outdir,
+    ] + extra
+    cfg = parse_arguments(argv)
+    assert main(cfg) == 0
+    out = os.path.join(tmp_outdir, f"e2e_{dataset}")
+    files = set(os.listdir(out))
+    assert {"args.json", "losses.npz", "model.pkl", "ckpt.msgpack"} <= files
+    with open(os.path.join(out, "args.json")) as f:
+        manifest = json.load(f)
+    assert manifest["dataset"] == dataset
+    z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
+    assert z["VAE Loss"].shape[0] >= 60
+    assert np.all(np.isfinite(z["VAE Loss"]))
+
+
+def test_overwrite_protection(tmp_outdir):
+    from vae_training_tpu.config import RunConfig
+    from vae_training_tpu.runio import make_output_dir
+
+    cfg = RunConfig(name="dup", data_dir=tmp_outdir)
+    make_output_dir("dup", False, cfg, data_dir=tmp_outdir)
+    with pytest.raises(ValueError, match="already exists"):
+        make_output_dir("dup", False, cfg, data_dir=tmp_outdir)
+    # -ow clears recursively, including subdirectories (reference crashed)
+    os.makedirs(os.path.join(tmp_outdir, "dup", "sub"), exist_ok=True)
+    make_output_dir("dup", True, cfg, data_dir=tmp_outdir)
+    assert os.listdir(os.path.join(tmp_outdir, "dup")) == ["args.json"]

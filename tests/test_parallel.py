@@ -1,0 +1,159 @@
+"""Multi-device tests on the 8-virtual-CPU-device backend.
+
+Covers: mesh spec parsing, shard_map DP training (replicated updates,
+convergence), GSPMD dp×tp training (sharded params, convergence), and
+equivalence of the DP loss channel with the global-batch mean.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vae_training_tpu.data import LinearGaussianDataset, SphereDataset
+from vae_training_tpu.models import build_vae
+from vae_training_tpu.parallel import (
+    make_dp_step_fns,
+    make_gspmd_step_fns,
+    make_mesh,
+    parse_mesh_spec,
+)
+from vae_training_tpu.train import TrainState
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("dp=8") == {"dp": 8}
+    assert parse_mesh_spec("dp=4,tp=2") == {"dp": 4, "tp": 2}
+    assert parse_mesh_spec("") == {}
+    with pytest.raises(ValueError, match="Unsupported mesh axis"):
+        parse_mesh_spec("pp=2")
+    mesh = make_mesh("dp=-1")
+    assert mesh.shape["dp"] == 8
+
+
+def _make_state(model, dataset, tx, latent_dim):
+    key = jax.random.PRNGKey(0)
+    data_dim = dataset.dimension
+    params = model.init(
+        key, jnp.zeros((1, data_dim)), jnp.zeros((1, latent_dim)),
+        jnp.zeros((1, data_dim)),
+    )["params"]
+    return TrainState.create(
+        params=params, tx=tx,
+        model_key=jax.random.PRNGKey(1), data_key=jax.random.PRNGKey(2),
+    )
+
+
+def test_dp_training_converges_and_replicates():
+    dataset = LinearGaussianDataset.create(2, dimension=3, intrinsic_dimension=3,
+                                           padding_dimension=3)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=6,
+                      epsilon=-1.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh("dp=8")
+    fns = make_dp_step_fns(model, dataset, tx, batch_size=64, mesh=mesh)
+    state = fns.place_state(_make_state(model, dataset, tx, 6))
+
+    state, losses0 = fns.train_chunk(state, 200)
+    state, losses1 = fns.train_chunk(state, 200)
+    l0, l1 = np.asarray(losses0), np.asarray(losses1)
+    assert l0.shape == (200,)
+    assert np.all(np.isfinite(l0)) and np.all(np.isfinite(l1))
+    assert l1.mean() < l0.mean()  # converging
+    assert int(state.step) == 400
+
+    # Params stay replicated: every device shard holds identical values.
+    kernel = state.params["Decoder"]["FC0"]["kernel"]
+    shards = [np.asarray(s.data) for s in kernel.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_batch_size_must_divide():
+    dataset = SphereDataset(dim=3, padding_dim=1)
+    model = build_vae(data_dim=4, latent_dim=3)
+    mesh = make_mesh("dp=8")
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_step_fns(model, dataset, optax.adam(1e-3), batch_size=100,
+                         mesh=mesh)
+
+
+def test_gspmd_tp_training_shards_params():
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    model = build_vae(
+        data_dim=dataset.dimension, latent_dim=6,
+        encoder_layer_sizes="64|64", decoder_layer_sizes="64|64",
+        epsilon=-3.0, tunable_decoder_var=True,
+    )
+    tx = optax.adam(1e-3)
+    mesh = make_mesh("dp=2,tp=4")
+    fns = make_gspmd_step_fns(model, dataset, tx, batch_size=64, mesh=mesh)
+    state = fns.place_state(_make_state(model, dataset, tx, 6))
+
+    # Hidden kernels sharded over tp (column-parallel FC0: out dim split)
+    k0 = state.params["Encoder"]["FC0"]["kernel"]
+    assert k0.sharding.spec == P(None, "tp")
+    k1 = state.params["Encoder"]["FC1"]["kernel"]
+    assert k1.sharding.spec == P("tp", None)
+
+    state, losses = fns.train_chunk(state, 100)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    state, losses2 = fns.train_chunk(state, 200)
+    assert np.asarray(losses2).mean() < np.asarray(losses).mean()
+
+
+def test_gspmd_matches_single_device_numerics():
+    """GSPMD partitioning must not change the math: same state, same keys
+    ⇒ same losses as the single-device step (modulo float reduction order)."""
+    from vae_training_tpu.train import make_step_fns
+
+    dataset = LinearGaussianDataset.create(2, dimension=3, intrinsic_dimension=3,
+                                           padding_dimension=2)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=4,
+                      encoder_layer_sizes="16", decoder_layer_sizes="16")
+    tx = optax.adam(1e-3)
+    state = _make_state(model, dataset, tx, 4)
+
+    single = make_step_fns(model, dataset, tx, batch_size=32)
+    s1, losses1 = single.train_chunk(jax.tree_util.tree_map(jnp.copy, state), 50)
+
+    mesh = make_mesh("dp=2,tp=2")
+    fns = make_gspmd_step_fns(model, dataset, tx, batch_size=32, mesh=mesh)
+    s2 = fns.place_state(jax.tree_util.tree_map(jnp.copy, state))
+    s2, losses2 = fns.train_chunk(s2, 50)
+
+    np.testing.assert_allclose(
+        np.asarray(losses1), np.asarray(losses2), rtol=2e-3, atol=2e-4
+    )
+    k1 = np.asarray(s1.params["Encoder"]["FC0"]["kernel"])
+    k2 = np.asarray(s2.params["Encoder"]["FC0"]["kernel"])
+    np.testing.assert_allclose(k1, k2, rtol=5e-3, atol=5e-4)
+
+
+def test_trainer_with_mesh(tmp_outdir):
+    from vae_training_tpu.config import RunConfig
+    from vae_training_tpu.data import get_dataset
+    from vae_training_tpu.runio import make_output_dir
+    from vae_training_tpu.train import Trainer
+
+    cfg = RunConfig(
+        name="mesh", dataset="linear_gaussian", encoder_layer_sizes="",
+        layer_sizes="", latent_dimension=6, padding_dim=3,
+        dataset_dimension=3, num_batches=120, batch_size=64,
+        learning_rate=1e-3, epsilon=-1.0, tunable_decoder_var=True,
+        dataset_seed=2, overwrite=True, tqdm=False, data_dir=tmp_outdir,
+        mesh="dp=8",
+    ).validate()
+    out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+    ds = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
+    trainer = Trainer(cfg, ds, out)
+    trainer.n_print = 60
+    trainer.n_plot = 10**9
+    trainer.train()
+    assert len(trainer.recorder.loss_trace()) == 122  # 120 train + 2 evals

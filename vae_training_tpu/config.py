@@ -1,0 +1,151 @@
+"""Typed run configuration + the reference's exact CLI flag surface.
+
+The public API contract (BASELINE.md north star) is the reference's
+``run.py`` flags (/root/reference/run.py:8-43) and sweep scripts. This module
+keeps that flag surface verbatim and adds TPU-framework flags (mesh spec,
+kernel backend, resume, profiling) behind new names so every reference
+invocation is valid here unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class RunConfig:
+    # --- reference flag surface (/root/reference/run.py:8-43) ------------
+    name: str = "run"
+    num_batches: int = 15000
+    num_epochs: int = 10000
+    batch_size: int = 100
+    learning_rate: float = 1e-4
+    padding_dim: int = 0
+    overwrite: bool = False
+    dataset: str = "4gaussian"  # reference default; errors with a clear message
+    layer_sizes: str = "512|512"
+    encoder_layer_sizes: str = "512|512"
+    latent_dimension: int = 100
+    nojit: bool = False
+    padding_type: str = "none"
+    dataset_seed: int = 69
+    state_dict: Optional[str] = None
+    data_fn: Optional[str] = None
+    warm_start: bool = False
+    initialize_inverse: bool = False
+    use_fred_covariance: bool = False
+    epsilon: float = 0.0
+    tunable_decoder_var: bool = False
+    dataset_noise: float = 0.0
+    dataset_dimension: int = 3
+    warm_start_linear: bool = False
+    dataset_intrinsic_dimension: int = 3
+    latent_off_dimension: int = 1
+    # post-parse hardcoded fields (/root/reference/run.py:40-42)
+    model: str = "VAE"
+    latent_distribution: str = "gaussian"
+    tqdm: bool = True
+
+    # --- TPU framework flags (new) ---------------------------------------
+    mesh: str = ""  # e.g. "dp=8" or "dp=4,tp=2"; "" = single device
+    kernels: str = "auto"  # auto | xla | pallas
+    model_seed: int = 0  # reference fixes PRNGKey(0) (/root/reference/model.py:29)
+    resume: Optional[str] = None  # checkpoint dir to resume from
+    profile: bool = False  # jax.profiler trace of one training chunk
+    debug_nans: bool = False  # jax_debug_nans mode (TPU analogue of -nojit)
+    data_dir: str = "data"  # reference DATA_DIR (/root/reference/utils.py:11)
+    checkpoint_every: int = 0  # 0 = only at plot cadence (reference behavior)
+
+    # --- derived ----------------------------------------------------------
+    @property
+    def latent_dim(self) -> int:
+        return self.latent_dimension
+
+    def validate(self) -> "RunConfig":
+        from .data.registry import dataset_names
+
+        if self.dataset not in dataset_names():
+            raise ValueError(
+                f"--dataset {self.dataset!r} is not available. The reference "
+                f"defaulted to '4gaussian' and crashed downstream "
+                f"(run.py:18, get_dataset returns None); pass one of "
+                f"{dataset_names()}."
+            )
+        if self.kernels not in ("auto", "xla", "pallas"):
+            raise ValueError(f"--kernels must be auto|xla|pallas, got {self.kernels}")
+        return self
+
+    def to_json_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native VAE training (reference-compatible CLI)"
+    )
+    # Reference flags — names, defaults, and help mirror run.py:8-43.
+    p.add_argument("name", help="The name of the experiment and output directory.")
+    p.add_argument("--num_batches", dest="num_batches", type=int, default=15000,
+                   help="Number of batches to train on.")
+    p.add_argument("--num_epochs", dest="num_epochs", type=int, default=10000)
+    p.add_argument("--batch_size", dest="batch_size", type=int, default=100)
+    p.add_argument("-lr", "--learning_rate", dest="learning_rate", type=float,
+                   default=0.0001)
+    p.add_argument("--padding_dim", type=int, dest="padding_dim", default=0)
+    p.add_argument("-ow", dest="overwrite", action="store_true")
+    p.add_argument("--dataset", dest="dataset", default="4gaussian",
+                   choices=["sphere", "linear_gaussian", "sigmoid", "gaussian"])
+    p.add_argument("--layer_sizes", dest="layer_sizes", default="512|512",
+                   help="Decoder MLP layer sizes as pipe-separated ints, e.g. 512|512; "
+                        "empty string = pure linear decoder.")
+    p.add_argument("--encoder_layer_sizes", dest="encoder_layer_sizes",
+                   default="512|512",
+                   help="Encoder MLP layer sizes as pipe-separated ints; "
+                        "empty string = pure linear encoder.")
+    p.add_argument("--latent_dim", dest="latent_dimension", type=int, default=100)
+    p.add_argument("-nojit", dest="nojit", action="store_true",
+                   help="Disables just-in-time compilation for debugging")
+    p.add_argument("--padding_type", dest="padding_type", default="none",
+                   choices=["zero", "gaussian", "none"])
+    p.add_argument("-ds", "--dataset_seed", dest="dataset_seed", type=int, default=69)
+    p.add_argument("--state_dict", dest="state_dict", default=None)
+    p.add_argument("--data_fn", dest="data_fn", default=None)
+    p.add_argument("-ws", "--warm_start", action="store_true")
+    p.add_argument("-ii", "--initialize_inverse", action="store_true")
+    p.add_argument("-ufc", "--use_fred_covariance", action="store_true")
+    p.add_argument("-e", "--epsilon", type=float, default=0.0)
+    p.add_argument("-tdv", dest="tunable_decoder_var", action="store_true")
+    p.add_argument("-dn", "--dataset_noise", type=float, default=0.0)
+    p.add_argument("-dd", "--dataset_dimension", type=int, default=3)
+    p.add_argument("-wsl", "--warm_start_linear", action="store_true")
+    p.add_argument("-did", "--dataset_intrinsic_dimension", type=int, default=3)
+    p.add_argument("-off", "--latent_off_dimension", type=int, default=1)
+    # TPU framework flags (new).
+    p.add_argument("--mesh", dest="mesh", default="",
+                   help="Device mesh spec, e.g. 'dp=8' or 'dp=4,tp=2'. "
+                        "Empty = single device.")
+    p.add_argument("--kernels", dest="kernels", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="Compute backend for the fused train step.")
+    p.add_argument("--model_seed", dest="model_seed", type=int, default=0)
+    p.add_argument("--resume", dest="resume", default=None,
+                   help="Checkpoint directory to resume training from.")
+    p.add_argument("--profile", dest="profile", action="store_true",
+                   help="Capture a jax.profiler trace of one training chunk.")
+    p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
+    p.add_argument("--data_dir", dest="data_dir", default="data")
+    p.add_argument("--checkpoint_every", dest="checkpoint_every", type=int, default=0)
+    return p
+
+
+def parse_arguments(argv=None) -> RunConfig:
+    args = build_parser().parse_args(argv)
+    cfg = RunConfig(**vars(args))
+    # Post-parse hardcoded fields, mirroring /root/reference/run.py:40-42.
+    cfg.model = "VAE"
+    cfg.latent_distribution = "gaussian"
+    cfg.tqdm = True
+    return cfg

@@ -1,0 +1,261 @@
+"""Synthetic manifold datasets: sphere, gaussian, linear-gaussian, sigmoid.
+
+Pure-function re-designs of /root/reference/datasets.py:55-279. Sampling
+semantics (distributions, padding layout, scoring formulas) are preserved
+exactly; the stateful key-splitting is replaced by caller-owned keys so the
+samplers compile into the fused train step.
+
+Construction randomness (the mixing matrices ``A``) consumes splits of
+``PRNGKey(seed)`` in the same order as the reference so the *manifold* is
+seed-reproducible in spirit (exact bit-parity of A is NOT a goal — the
+reference's full-rank resampling loop is reproduced behaviorally).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .base import DistributionDataset, pad_with_zeros, padding_energy
+
+
+class SphereDataset(DistributionDataset):
+    """Uniform samples on S^{dim-1}, zero-padded to ambient dimension.
+
+    Reference: /root/reference/datasets.py:55-98.
+    """
+
+    dim: int = struct.field(pytree_node=False, default=3)
+    padding_dim: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def ndim(self) -> int:
+        return self.dim + self.padding_dim
+
+    def sample(self, key: jax.Array, n: int) -> jax.Array:
+        g = jax.random.normal(key, (n, self.dim))
+        on_sphere = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+        return pad_with_zeros(on_sphere, self.padding_dim)
+
+    def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
+        real = batch[:, : self.dim]
+        padding = batch[:, self.dim :]
+        # (||x|| - R)^2 with R = 1; padding squared-norm.
+        # Reference: /root/reference/datasets.py:67-73.
+        sphere_err = jnp.mean(jnp.square(jnp.linalg.norm(real, axis=1) - 1.0))
+        pad_err = jnp.mean(jnp.square(jnp.linalg.norm(padding, axis=1)))
+        return {"Sphere Error": sphere_err, "Padding Error": pad_err}
+
+    def plot_batch(self, batch, fn=None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        norms = np.asarray(jnp.linalg.norm(batch, axis=1))
+        bins = [0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2]
+        plt.hist(norms, bins=bins)
+        if fn is not None:
+            plt.savefig(fn)
+        plt.close()
+
+
+class GaussianDataset(DistributionDataset):
+    """Isotropic gaussian with optional noisy padding dimensions.
+
+    Reference: /root/reference/datasets.py:101-160 (defined but unwired in
+    the reference CLI — wired here as an explicit ``--dataset gaussian``).
+    """
+
+    dim: int = struct.field(pytree_node=False, default=3)
+    padding_dim: int = struct.field(pytree_node=False, default=0)
+    noise_level: float = struct.field(pytree_node=False, default=0.01)
+
+    @property
+    def ndim(self) -> int:
+        return self.dim + self.padding_dim
+
+    def sample(self, key: jax.Array, n: int) -> jax.Array:
+        k1, k2 = jax.random.split(key)
+        core = jax.random.normal(k1, (n, self.dim))
+        if self.noise_level > 0 and self.padding_dim > 0:
+            # Isotropic cov = noise_level * I — equivalent to the reference's
+            # multivariate_normal with diagonal cov (datasets.py:130-133).
+            padding = jax.random.normal(k2, (n, self.padding_dim)) * jnp.sqrt(
+                self.noise_level
+            )
+            return jnp.concatenate([core, padding], axis=1)
+        return pad_with_zeros(core, self.padding_dim)
+
+    def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
+        padding = batch[:, self.dim :]
+        mse = padding_energy(padding)
+        cov_hat = jnp.cov(batch.T)
+        w_ht, _ = jnp.linalg.eigh(jnp.atleast_2d(cov_hat))
+        w_gt = jnp.ones_like(w_ht)
+        # Reference: /root/reference/datasets.py:113-125.
+        return {
+            "Squared Norm of padding dimensions": mse,
+            "ground truth eigenvalue": w_gt,
+            "learnt eigenvalue": w_ht,
+        }
+
+    def plot_batch(self, batch, fn=None):
+        _plot_scatter_or_norms(self, batch, fn)
+
+
+class LinearGaussianDataset(DistributionDataset):
+    """Y = A X with X ~ N(0, I_k), A full-rank (dim × k), zero padding.
+
+    Optional isotropic observation noise of variance ``var_added``.
+    Reference: /root/reference/datasets.py:163-228. ``A`` and
+    ``transformed_cov = A Aᵀ`` are exposed for the warm-start initializer
+    (/root/reference/vae.py:87,93).
+    """
+
+    A: jax.Array  # (dim, intrinsic_dim)
+    dim: int = struct.field(pytree_node=False, default=3)
+    intrinsic_dim: int = struct.field(pytree_node=False, default=3)
+    padding_dim: int = struct.field(pytree_node=False, default=0)
+    var_added: float = struct.field(pytree_node=False, default=0.0)
+
+    @classmethod
+    def create(
+        cls,
+        seed: int,
+        dimension: int = 3,
+        intrinsic_dimension: int = 3,
+        padding_dimension: int = 0,
+        var_added: float = 0.0,
+    ) -> "LinearGaussianDataset":
+        key = jax.random.PRNGKey(seed)
+        # Resample until full rank — behavioral port of the reference's
+        # construction loop (/root/reference/datasets.py:171-180).
+        target_rank = min(dimension, intrinsic_dimension)
+        while True:
+            key, mat_key = jax.random.split(key)
+            mat = jax.random.normal(mat_key, (dimension, intrinsic_dimension))
+            if int(jnp.linalg.matrix_rank(mat)) == target_rank:
+                break
+        return cls(
+            A=mat,
+            dim=dimension,
+            intrinsic_dim=intrinsic_dimension,
+            padding_dim=padding_dimension,
+            var_added=var_added,
+        )
+
+    @property
+    def ndim(self) -> int:
+        return self.dim + self.padding_dim
+
+    @property
+    def transformed_cov(self) -> jax.Array:
+        return self.A @ self.A.T
+
+    def sample(self, key: jax.Array, n: int) -> jax.Array:
+        kx, kn = jax.random.split(key)
+        x = jax.random.normal(kx, (n, self.intrinsic_dim))
+        y = x @ self.A.T
+        y = pad_with_zeros(y, self.padding_dim)
+        if self.var_added > 0:
+            y = y + jax.random.normal(kn, (n, self.ndim)) * jnp.sqrt(self.var_added)
+        return y
+
+    def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
+        padding = batch[:, self.dim :]
+        # Reference: /root/reference/datasets.py:201-206.
+        return {"Squared Norm of padding dimensions": padding_energy(padding)}
+
+    def plot_batch(self, batch, fn=None):
+        _plot_scatter_or_norms(self, batch, fn)
+
+
+class SigmoidDataset(DistributionDataset):
+    """Y = [z, σ(z·A), 0-padding] with z ~ N(0, I_dim), A ~ N(0,1)^{dim×1}.
+
+    Ambient dimension is dim + 1 + padding_dim. Reference:
+    /root/reference/datasets.py:230-279.
+    """
+
+    A: jax.Array  # (dim, 1)
+    dim: int = struct.field(pytree_node=False, default=3)
+    padding_dim: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(
+        cls, seed: int, dimension: int = 3, padding_dimension: int = 0
+    ) -> "SigmoidDataset":
+        key = jax.random.PRNGKey(seed)
+        _, mat_key = jax.random.split(key)
+        mat = jax.random.normal(mat_key, (dimension, 1))
+        return cls(A=mat, dim=dimension, padding_dim=padding_dimension)
+
+    @property
+    def ndim(self) -> int:
+        return self.dim + self.padding_dim + 1
+
+    def sample(self, key: jax.Array, n: int) -> jax.Array:
+        z = jax.random.normal(key, (n, self.dim))
+        sig = jax.nn.sigmoid(z @ self.A)
+        out = jnp.concatenate([z, sig], axis=1)
+        return pad_with_zeros(out, self.padding_dim)
+
+    def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
+        # NOTE: the reference compares the σ-coordinate against the
+        # *pre-sigmoid* logit z·A — this is the published metric and is
+        # reproduced as-is (/root/reference/datasets.py:255-261).
+        codomain_hat = batch[:, self.dim]
+        codomain = (batch[:, : self.dim] @ self.A)[:, 0]
+        manifold_error = jnp.mean(jnp.square(codomain_hat - codomain))
+        padding = batch[:, self.dim + 1 :]
+        return {
+            "Squared Norm of Padding Dimensions": padding_energy(padding),
+            "Squared Norm of Manifold Dimension": manifold_error,
+        }
+
+    def plot_batch(self, batch, fn=None, key: jax.Array | None = None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = batch.shape[0]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        true_batch = self.sample(key, n)
+        x = np.asarray(batch[:, : self.dim] @ self.A)
+        y = np.asarray(batch[:, self.dim])
+        plt.scatter(x, y)
+        x_org = np.asarray(true_batch[:, : self.dim] @ self.A)
+        y_org = np.asarray(true_batch[:, self.dim])
+        plt.scatter(x_org, y_org)
+        if fn is not None:
+            plt.savefig(fn)
+        plt.close()
+
+
+def _plot_scatter_or_norms(ds, batch, fn=None):
+    """2-D scatter for dim==2, otherwise sorted-norm curve.
+
+    Reference plot semantics: /root/reference/datasets.py:141-154,208-222.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    b = np.asarray(batch)
+    if ds.dim == 2:
+        plt.scatter(b[:, 0], b[:, 1])
+    else:
+        plt.plot(np.sort(np.linalg.norm(b, axis=1)))
+        plt.ylabel("Norm of points")
+    plt.title(f"Gaussian with dimension {ds.dim} and padding {ds.padding_dim}")
+    if fn is not None:
+        plt.savefig(fn)
+    plt.close()

@@ -1,0 +1,50 @@
+"""Full training checkpoints with a WORKING resume path.
+
+The reference half-implements this: it saves an optimizer state dict at every
+plot interval but never calls its own load path (/root/reference/model.py:37-43,
+91-94; SURVEY.md §3.5). Here a checkpoint is the complete ``TrainState`` —
+params, Adam moments, step counter, and both PRNG base keys — serialized with
+flax msgpack, so ``--resume <dir>`` continues bit-exactly where the run
+stopped (same fold_in(step) key derivation ⇒ the resumed run consumes the
+identical random stream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+CKPT_NAME = "ckpt.msgpack"
+META_NAME = "ckpt_meta.json"
+
+
+def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> str:
+    payload = serialization.to_bytes(jax.device_get(state))
+    path = os.path.join(dirname, CKPT_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic: a preempted save never corrupts the ckpt
+    meta = {"step": int(state.step)}
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(dirname, META_NAME), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def restore_checkpoint(dirname: str, state_template):
+    path = os.path.join(dirname, CKPT_NAME)
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(state_template, data)
+
+
+def checkpoint_exists(dirname: str) -> bool:
+    return os.path.exists(os.path.join(dirname, CKPT_NAME))

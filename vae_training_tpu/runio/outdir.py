@@ -1,0 +1,39 @@
+"""Output directory management + args.json run manifest.
+
+Reference: /root/reference/utils.py:46-65. Differences (deliberate fixes per
+SURVEY.md §7 quirk table): ``-ow`` recursively clears the directory (the
+reference's per-file ``os.remove`` crashes on subdirectories), and the data
+root is configurable (reference hardcodes ``data/``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def get_output_dir(name: str, data_dir: str = "data") -> str:
+    return os.path.join(data_dir, name)
+
+
+def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data") -> str:
+    os.makedirs(data_dir, exist_ok=True)
+    dirname = get_output_dir(name, data_dir)
+    if os.path.exists(dirname):
+        if overwrite:
+            for entry in os.listdir(dirname):
+                path = os.path.join(dirname, entry)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+        else:
+            raise ValueError(f"{dirname} already exists! Use a different name")
+    else:
+        os.makedirs(dirname)
+    args_name = os.path.join(dirname, "args.json")
+    payload = cfg.to_json_dict() if hasattr(cfg, "to_json_dict") else dict(vars(cfg))
+    with open(args_name, "w") as f:
+        json.dump(payload, f)
+    return dirname

@@ -1,0 +1,337 @@
+"""The training engine: chunked compiled training with host-side cadences.
+
+Re-architecture of the reference's ``Model``/``GenerativeModel`` engine
+(/root/reference/model.py:18-255). Behavioral contract preserved:
+
+  - stat line every ``n_print`` = 5000 steps, plot+save every ``n_plot`` =
+    50000 steps and at the last step, eval batch size 1000
+    (/root/reference/model.py:123-126);
+  - events fire BEFORE that step's gradient update (the batch-0 eval sees
+    the freshly initialized model — /root/reference/model.py:213-222);
+  - "Score for real data" console line at train start
+    (/root/reference/model.py:209-211);
+  - per-step training losses recorded (→ the npz "VAE Loss" trace).
+
+Architecture inverted for TPU: between events the engine runs ONE compiled
+scan chunk covering every intervening step (5k steps per device program
+instead of 5k Python dispatches). Eval, plotting, and saving are the only
+host work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import RunConfig
+from ..data.base import DistributionDataset
+from ..models.networks import build_vae
+from ..models.warm_start import apply_warm_start
+from ..evals.stats import StatsRecorder
+from ..runio.checkpoint import restore_checkpoint, save_checkpoint
+from ..runio.export import load_model_pkl, save_model_pkl
+from ..utils.trees import correlation_ratio
+from .state import TrainState
+from .step import make_step_fns, sample_z, split_z
+
+N_PLOT = 50000
+N_PRINT = 5000
+EVAL_BATCH_SIZE = 1000
+
+
+class Trainer:
+    """Owns model/optimizer/state and drives the chunked training loop."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        dataset: DistributionDataset,
+        output_dir: str,
+        track_correlation: bool = False,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.dirname = output_dir
+        self.n_plot = N_PLOT
+        self.n_print = N_PRINT
+        self.eval_batch_size = EVAL_BATCH_SIZE
+        self.track_correlation = track_correlation
+
+        data_dim = dataset.dimension
+        self.latent_dim = cfg.latent_dimension
+        self.model = build_vae(
+            data_dim=data_dim,
+            latent_dim=cfg.latent_dimension,
+            encoder_layer_sizes=cfg.encoder_layer_sizes,
+            decoder_layer_sizes=cfg.layer_sizes,
+            epsilon=cfg.epsilon,
+            tunable_decoder_var=cfg.tunable_decoder_var,
+            dataset_name=cfg.dataset,
+        )
+
+        # Host-side key chain, seeded like the reference's fixed PRNGKey(0)
+        # (/root/reference/model.py:29) but configurable via --model_seed.
+        self.key = jax.random.PRNGKey(cfg.model_seed)
+        vae_key, self.key = jax.random.split(self.key)
+        dummy_x = jnp.zeros((1, data_dim))
+        dummy_z1 = jnp.zeros((1, self.latent_dim))
+        dummy_z2 = jnp.zeros((1, data_dim))
+        variables = self.model.init(vae_key, dummy_x, dummy_z1, dummy_z2)
+        params = variables["params"]
+
+        if cfg.warm_start:
+            ws_key, self.key = jax.random.split(self.key)
+            params = apply_warm_start(
+                dict(params),
+                cfg.dataset,
+                dataset,
+                self.latent_dim,
+                cfg.latent_off_dimension,
+                ws_key,
+            )
+
+        # Adam with the reference's defaults (flax.optim.Adam: b1=0.9,
+        # b2=0.999, eps=1e-8 — /root/reference/vae.py:113).
+        self.tx = optax.adam(cfg.learning_rate)
+
+        z_base_key, self.key = jax.random.split(self.key)
+        data_root = jax.random.PRNGKey(cfg.dataset_seed)
+        train_data_key = jax.random.fold_in(data_root, 1)
+        self._eval_data_root = jax.random.fold_in(data_root, 2)
+        self._eval_counter = 0
+
+        self.state = TrainState.create(
+            params=params,
+            tx=self.tx,
+            model_key=z_base_key,
+            data_key=train_data_key,
+        )
+
+        self.fns = self._build_step_fns()
+        if self.fns.place_state is not None:
+            self.state = self.fns.place_state(self.state)
+
+        self.recorder = StatsRecorder()
+        self.epsilon = cfg.epsilon
+        self.current_epsilon = cfg.epsilon
+        self.batchnum = 0
+        self.params_and_gradients = []
+
+        # Resume paths: full checkpoint (--resume) or reference-layout
+        # model.pkl (--state_dict, made real — SURVEY.md §3.5).
+        if cfg.resume:
+            self.state = restore_checkpoint(cfg.resume, self.state)
+            self.batchnum = int(self.state.step)
+        elif cfg.state_dict:
+            params, opt_state = load_model_pkl(
+                cfg.state_dict, self.state.params, self.state.opt_state
+            )
+            self.state = self.state.replace(params=params, opt_state=opt_state)
+
+    # ------------------------------------------------------------------
+    def _build_step_fns(self):
+        if self.cfg.mesh:
+            from ..parallel.api import make_parallel_step_fns
+
+            return make_parallel_step_fns(
+                self.model,
+                self.dataset,
+                self.tx,
+                self.cfg.batch_size,
+                mesh_spec=self.cfg.mesh,
+            )
+        if self.cfg.kernels in ("auto", "pallas"):
+            from ..kernels.dispatch import maybe_make_pallas_step_fns
+
+            fns = maybe_make_pallas_step_fns(
+                self.model,
+                self.dataset,
+                self.tx,
+                self.cfg,
+                require=(self.cfg.kernels == "pallas"),
+            )
+            if fns is not None:
+                return fns
+        return make_step_fns(
+            self.model, self.dataset, self.tx, self.cfg.batch_size
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self):
+        return self.state.params
+
+    def get_key(self) -> jax.Array:
+        self.key, key = jax.random.split(self.key)
+        return key
+
+    def _next_eval_data_key(self) -> jax.Array:
+        self._eval_counter += 1
+        return jax.random.fold_in(self._eval_data_root, self._eval_counter)
+
+    def sample_latent(self, key: jax.Array, batch_size: int) -> jax.Array:
+        """Prior draw (batch, latent_dim + data_dim): z1 ⊕ z2.
+
+        Reference: /root/reference/model.py:225-236 (gaussian branch; the
+        logistic branch existed only for the reference's dead flow models).
+        """
+        return sample_z(key, batch_size, self.latent_dim, self.dataset.dimension)
+
+    def sample_batch(
+        self, key: jax.Array, batch_size: int, latents: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Ancestral sampling with the current decoder log-variance.
+
+        Reference: /root/reference/vae.py:191-201 (minus its re-jit-per-call
+        bug — our generate fn is compiled once).
+        """
+        z = latents if latents is not None else self.sample_latent(key, batch_size)
+        z1, z2 = split_z(z, self.latent_dim)
+        x_hat = self.fns.generate(
+            self.state.params, z1, z2, jnp.asarray(self.current_epsilon)
+        )
+        return x_hat, z
+
+    # ------------------------------------------------------------------
+    def compute_stats(self) -> dict:
+        """Eval pass: model ELBO components on real data + analytic manifold
+        scores on generated data. Reference: /root/reference/model.py:153-168
+        + /root/reference/vae.py:132-141."""
+        key = self.get_key()
+        real_batch = self.dataset.sample(
+            self._next_eval_data_key(), self.eval_batch_size
+        )
+        fake_batch, latents = self.sample_batch(key, self.eval_batch_size)
+        z1, z2 = split_z(latents, self.latent_dim)
+        loss, dkl, mse, logvar_e, epsilon = self.fns.eval_loss(
+            self.state.params, real_batch, z1, z2
+        )
+        self.recorder.append_eval(loss, logvar_e, epsilon)
+        self.current_epsilon = epsilon
+        stats = {"VAE Loss": loss, "KL divergence": dkl, "mse": mse}
+        score = jax.device_get(self.fns.score(fake_batch))
+        if not isinstance(score, dict):
+            stats["Average Log Likelihood"] = score
+            self.recorder.average_log_likelihoods.append(score)
+        else:
+            stats.update(score)
+        if self.track_correlation:
+            _, grads = self.fns.loss_and_grads(self.state.params, real_batch, z1, z2)
+            self.params_and_gradients.append(
+                (jax.device_get(self.state.params), jax.device_get(grads))
+            )
+        return stats
+
+    def write_stats(self, stats: dict) -> None:
+        message = self.recorder.write_stats(self.batchnum, stats)
+        print(message, flush=True)
+
+    def plot_model_specific(self):
+        pass
+
+    def plot(self):
+        self.plot_model_specific()
+
+    def plot_epoch(self) -> None:
+        key = self.get_key()
+        batch = self.sample_batch(key, self.eval_batch_size)[0]
+        fn = os.path.join(self.dirname, f"output_{self.batchnum}.png")
+        self.dataset.plot_batch(np.asarray(batch), fn=fn)
+
+    # ------------------------------------------------------------------
+    def _next_event(self, b: int) -> int:
+        """First step index > b at which any host event fires."""
+        total = self.cfg.num_batches
+        nxt = ((b // self.n_print) + 1) * self.n_print
+        nxt = min(nxt, ((b // self.n_plot) + 1) * self.n_plot)
+        if b < total - 1:
+            nxt = min(nxt, total - 1)
+        return min(nxt, total)
+
+    def train(self) -> None:
+        if self.dataset.is_epochs:
+            raise NotImplementedError(
+                "epoch-mode datasets (torch dataloaders) are not part of the "
+                "live capability surface — see SURVEY.md §1 dead-code boundary"
+            )
+        self.train_distribution()
+
+    def train_distribution(self) -> None:
+        eval_batch = self.dataset.sample(
+            self._next_eval_data_key(), self.eval_batch_size
+        )
+        score = jax.device_get(self.fns.score(eval_batch))
+        print(f"Score for real data: {score}", flush=True)
+
+        total = self.cfg.num_batches
+        progress = None
+        if self.cfg.tqdm:
+            try:
+                from tqdm import tqdm as _tqdm
+
+                progress = _tqdm(total=total, initial=self.batchnum)
+            except Exception:
+                progress = None
+
+        profiled = False
+        b = self.batchnum
+        while b < total:
+            self.batchnum = b
+            if b % self.n_print == 0:
+                self.write_stats(self.compute_stats())
+            if b % self.n_plot == 0 or b == total - 1:
+                self.plot_epoch()
+                self.save()
+            n = self._next_event(b) - b
+            if self.cfg.profile and not profiled and n > 1:
+                jax.profiler.start_trace(os.path.join(self.dirname, "profile"))
+            self.state, losses = self.fns.train_chunk(self.state, n)
+            if self.cfg.profile and not profiled and n > 1:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
+                profiled = True
+            self.recorder.append_train_losses(jax.device_get(losses))
+            if (
+                self.cfg.checkpoint_every
+                and (b + n) // self.cfg.checkpoint_every > b // self.cfg.checkpoint_every
+            ):
+                save_checkpoint(self.dirname, self.state)
+            b += n
+            if progress is not None:
+                progress.update(n)
+        self.batchnum = max(total - 1, 0)
+        if progress is not None:
+            progress.close()
+
+    # ------------------------------------------------------------------
+    def model_save_data(self, final: bool = False) -> None:
+        if final and self.params_and_gradients:
+            self.recorder.correlation_ratios = [
+                float(correlation_ratio(self.state.params, p, g))
+                for p, g in self.params_and_gradients
+            ]
+
+    def save(self, final: bool = False) -> None:
+        self.model_save_data(final=final)
+        self.recorder.save_npz(self.dirname, final=final)
+        save_model_pkl(
+            os.path.join(self.dirname, "model.pkl"),
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.opt_state),
+        )
+        save_checkpoint(self.dirname, self.state)
+        self.dataset.save(os.path.join(self.dirname, "dataset.pk"))
+
+    def load(self) -> None:
+        if self.cfg.data_fn is not None:
+            self.dataset = self.dataset.load(self.cfg.data_fn) or self.dataset
+        if self.cfg.state_dict:
+            params, opt_state = load_model_pkl(
+                self.cfg.state_dict, self.state.params, self.state.opt_state
+            )
+            self.state = self.state.replace(params=params, opt_state=opt_state)

@@ -1,0 +1,129 @@
+"""The fused train step and scan-chunked training program.
+
+TPU-first inversion of the reference's hot loop. The reference dispatches,
+per step, from Python: a dataset sample (several small XLA ops), a host key
+split, a (batch, latent+data) normal draw, and the jitted train_step
+(/root/reference/model.py:213-222, /root/reference/vae.py:123-129). That
+per-step host dispatch is the throughput ceiling. Here ONE jitted,
+donated-buffer program runs ``n_steps`` steps under ``lax.scan``:
+
+    fold_in(step) → sample batch on-device → sample z → ELBO fwd/bwd →
+    Adam update
+
+and returns the per-step losses (preserving the reference's per-step
+``vae_losses`` stat channel — /root/reference/vae.py:130). The host wakes
+only at eval cadence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.base import DistributionDataset
+from ..models.networks import VAE
+from ..ops.elbo import elbo_terms
+from .state import TrainState
+
+
+class StepFns(NamedTuple):
+    """Compiled entry points the training engine drives."""
+
+    train_chunk: Callable  # (state, n_steps) -> (state, losses[n_steps])
+    eval_loss: Callable  # (params, batch, z1, z2) -> (loss, dkl, mse, logvar_e, eps)
+    generate: Callable  # (params, z1, z2, epsilon) -> x_hat
+    score: Callable  # (batch,) -> dict of scalars
+    loss_and_grads: Callable  # (params, batch, z1, z2) -> (loss, grads)
+    # Optional hook: place the initial TrainState onto a device mesh
+    # (replicate or shard) before training. None ⇒ single-device.
+    place_state: Optional[Callable] = None
+
+
+def sample_z(key: jax.Array, n: int, latent_dim: int, data_dim: int) -> jax.Array:
+    """One gaussian draw of shape (n, latent_dim + data_dim): z1 for the
+    reparameterisation, z2 for the decoder output noise.
+
+    Reference: /root/reference/model.py:225-228 + split at vae.py:127-128.
+    """
+    return jax.random.normal(key, (n, latent_dim + data_dim))
+
+
+def split_z(z: jax.Array, latent_dim: int) -> Tuple[jax.Array, jax.Array]:
+    return z[..., :latent_dim], z[..., latent_dim:]
+
+
+def make_step_fns(
+    model: VAE,
+    dataset: DistributionDataset,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+) -> StepFns:
+    latent_dim = model.latent_dim
+    data_dim = dataset.dimension
+
+    def loss_fn(params, batch, z1, z2):
+        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
+        loss, dkl, mse = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss, (dkl, mse, logvar_e, epsilon)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState) -> Tuple[TrainState, jax.Array]:
+        kb = jax.random.fold_in(state.data_key, state.step)
+        kz = jax.random.fold_in(state.model_key, state.step)
+        batch = dataset.sample(kb, batch_size)
+        z = sample_z(kz, batch_size, latent_dim, data_dim)
+        z1, z2 = split_z(z, latent_dim)
+        (loss, _), grads = grad_fn(state.params, batch, z1, z2)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, loss
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def train_chunk(state: TrainState, n_steps: int):
+        def body(s, _):
+            return train_step(s)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    @jax.jit
+    def eval_loss(params, batch, z1, z2):
+        """Eval-mode ELBO decomposition.
+
+        Matches the reference's jitted ``VAE.loss``
+        (/root/reference/networks.py:103-113): same forward as training,
+        returns component means plus the current logvar_e / epsilon params.
+        """
+        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
+        loss, dkl, mse = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss, dkl, mse, logvar_e, epsilon
+
+    @jax.jit
+    def generate(params, z1, z2, epsilon):
+        """Ancestral sampling — jitted ONCE (the reference re-jits a fresh
+        partial on every call: /root/reference/vae.py:199)."""
+        return model.apply({"params": params}, z1, z2, epsilon, method=VAE.generate)
+
+    @jax.jit
+    def score(batch):
+        return dataset.score(batch)
+
+    @jax.jit
+    def loss_and_grads(params, batch, z1, z2):
+        (loss, _), grads = grad_fn(params, batch, z1, z2)
+        return loss, grads
+
+    return StepFns(
+        train_chunk=train_chunk,
+        eval_loss=eval_loss,
+        generate=generate,
+        score=score,
+        loss_and_grads=loss_and_grads,
+    )
