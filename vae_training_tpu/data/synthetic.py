@@ -134,12 +134,14 @@ class LinearGaussianDataset(DistributionDataset):
     ) -> "LinearGaussianDataset":
         key = jax.random.PRNGKey(seed)
         # Resample until full rank — behavioral port of the reference's
-        # construction loop (/root/reference/datasets.py:171-180).
+        # construction loop (/root/reference/datasets.py:171-180). The rank
+        # check runs on the HOST (numpy SVD): this is one-time setup math,
+        # and SVD-family ops are not reliably supported on all TPU runtimes.
         target_rank = min(dimension, intrinsic_dimension)
         while True:
             key, mat_key = jax.random.split(key)
             mat = jax.random.normal(mat_key, (dimension, intrinsic_dimension))
-            if int(jnp.linalg.matrix_rank(mat)) == target_rank:
+            if int(np.linalg.matrix_rank(np.asarray(mat))) == target_rank:
                 break
         return cls(
             A=mat,

@@ -1,0 +1,470 @@
+"""Pallas TPU kernel: the ENTIRE multi-step linear-VAE training loop fused.
+
+For the pure-linear sweep configs (0-hidden-layer encoder/decoder,
+/root/reference/seed_linpadding_expts.sh, sigmoid script's net shapes), one
+``pallas_call`` runs K training steps with every parameter, Adam moment, and
+activation resident in VMEM:
+
+    per step (all in-kernel):
+      TPU PRNG → Box-Muller normals → manifold sample x = n·Aᵀ
+      → encoder mu = x·We + be → reparam s = mu + e^{ep/2}·z1
+      → decoder y = s·Wd + bd + z2·e^{ε/2}
+      → closed-form ELBO + hand-derived analytic backward
+      → Adam update (bias-corrected, matching optax.adam)
+
+Zero HBM traffic per step beyond the (K,1) loss trace: the state makes one
+round trip per chunk (input_output_aliases), not per step. This is the
+speed-of-light version of the reference hot loop — the math is identical to
+/root/reference/networks.py:87-101 (verified against the XLA path by the
+``external noise`` test mode, see tests/test_pallas_kernel.py).
+
+Padding scheme: everything is embedded in 128-lane tiles (N=128). Padded
+regions of parameters start at zero and PROVABLY stay zero: every gradient
+expression vanishes on padded rows/cols given masked noise (z1 masked to
+latent cols, z2 to data cols, batch rows masked), so Adam never moves them.
+The ELBO constant 0.5·D·(log2π+ε) is added analytically since the padded
+reconstruction residual is zero by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..train.state import TrainState
+from ..train.step import StepFns, make_step_fns
+
+N = 128  # lane tile; all dims embedded into (N, N) / (8, N) buffers
+B1, B2, ADAM_EPS = 0.9, 0.999, 1e-8
+LOG_2PI = math.log(2.0 * math.pi)
+
+# vec-buffer row layout: packed small parameters, one Adam update for all
+ROW_BE, ROW_BD, ROW_EP, ROW_EPS = 0, 1, 2, 3
+
+
+def _uniform(shape):
+    """PRNG bits → uniform(0,1) float32, strictly inside (0,1)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits fit in int32, which Mosaic can cast to f32 (uint32 can't)
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
+    # (u + 0.5) / 2^24 ∈ (0, 1)
+    return (u + 0.5) * (1.0 / 16777216.0)
+
+
+def _normal_block():
+    """(N, N) standard normals via Box-Muller on the in-kernel PRNG."""
+    u1 = _uniform((N, N))
+    u2 = _uniform((N, N))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _col_mask(width: int):
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    return (c < width).astype(jnp.float32)
+
+
+def _row_mask(height: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    return (r < height).astype(jnp.float32)
+
+
+def _adam(p, m, v, g, t, lr):
+    m = B1 * m + (1.0 - B1) * g
+    v = B2 * v + (1.0 - B2) * g * g
+    mh = m / (1.0 - jnp.exp(t * math.log(B1)))
+    vh = v / (1.0 - jnp.exp(t * math.log(B2)))
+    return p - lr * mh / (jnp.sqrt(vh) + ADAM_EPS), m, v
+
+
+def _make_kernel(
+    *,
+    n_steps: int,
+    batch: int,
+    data_dim: int,
+    latent_dim: int,
+    intrinsic_dim: int,
+    var_added: float,
+    eps_const: float,
+    tdv: bool,
+    lr: float,
+    external_noise: bool,
+):
+    """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
+    with caller-supplied noise blocks — the test hook that lets the math be
+    compared against the XLA train step exactly."""
+
+    inv_b = 1.0 / batch
+
+    def kernel(seed_ref, *refs):
+        if external_noise:
+            (at_ref, we_ref, wd_ref, vec_ref, mwe_ref, vwe_ref, mwd_ref,
+             vwd_ref, mvec_ref, vvec_ref, xn_ref, z1n_ref, z2n_ref,
+             we_out, wd_out, vec_out, mwe_out, vwe_out, mwd_out, vwd_out,
+             mvec_out, vvec_out, loss_ref) = refs
+        else:
+            (at_ref, we_ref, wd_ref, vec_ref, mwe_ref, vwe_ref, mwd_ref,
+             vwd_ref, mvec_ref, vvec_ref,
+             we_out, wd_out, vec_out, mwe_out, vwe_out, mwd_out, vwd_out,
+             mvec_out, vvec_out, loss_ref) = refs
+            pltpu.prng_seed(seed_ref[0])
+
+        t0 = seed_ref[1].astype(jnp.float32)
+        a_t = at_ref[:]  # (N, N): A.T padded — rows < intrinsic, cols < dim
+
+        lat_m = _col_mask(latent_dim)
+        dat_m = _col_mask(data_dim)
+        int_m = _col_mask(intrinsic_dim)
+        row_m = _row_mask(batch)
+
+        def body(i, carry):
+            we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec = carry
+            t = t0 + i.astype(jnp.float32) + 1.0
+
+            # --- sample (on-device dataset + prior noise) ---------------
+            if external_noise:
+                x = xn_ref[i]
+                z1 = z1n_ref[i]
+                z2 = z2n_ref[i]
+            else:
+                n_int = _normal_block() * int_m
+                x = jnp.dot(n_int, a_t, preferred_element_type=jnp.float32)
+                if var_added > 0.0:
+                    x = x + _normal_block() * dat_m * math.sqrt(var_added)
+                x = x * row_m
+                z1 = _normal_block() * lat_m * row_m
+                z2 = _normal_block() * dat_m * row_m
+
+            be = vec[ROW_BE:ROW_BE + 1, :]
+            bd = vec[ROW_BD:ROW_BD + 1, :]
+            ep = vec[ROW_EP:ROW_EP + 1, :] * lat_m
+            if tdv:
+                eps = vec[ROW_EPS, 0] * eps_const
+            else:
+                eps = jnp.float32(eps_const)
+
+            # --- forward -------------------------------------------------
+            mu = jnp.dot(x, we, preferred_element_type=jnp.float32) + be
+            mu = mu * row_m  # padded batch rows see bias; mask them out
+            sdev = jnp.exp(ep * 0.5) * lat_m  # e^{ep/2} on live cols, 0 pad
+            s = mu + sdev * z1
+            y = jnp.dot(s, wd, preferred_element_type=jnp.float32) + bd
+            y = (y + z2 * jnp.exp(eps * 0.5)) * row_m
+            r = y - x
+            inv_var = jnp.exp(-eps)
+
+            # --- loss (matches networks.py:94-98) ------------------------
+            kl_vec = -0.5 * (1.0 + ep - jnp.exp(ep)) * lat_m  # (1, N)
+            kl_const = jnp.sum(kl_vec)
+            sum_mu2 = jnp.sum(mu * mu)
+            sum_r2 = jnp.sum(r * r)
+            mse_const = 0.5 * data_dim * (LOG_2PI + eps)
+            loss = (kl_const + 0.5 * inv_b * sum_mu2
+                    + 0.5 * inv_var * inv_b * sum_r2 + mse_const)
+            loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
+
+            # --- analytic backward ---------------------------------------
+            g_y = r * (inv_var * inv_b)  # row-masked via r
+            # g_Wd = sᵀ·g_y ; g_We = xᵀ·g_mu  (contract the batch dim)
+            g_wd = jax.lax.dot_general(
+                s, g_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_bd = jnp.sum(g_y, axis=0, keepdims=True)
+            # g_s = g_y·Wdᵀ (contract data dim)
+            g_s = jax.lax.dot_general(
+                g_y, wd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_mu = g_s + mu * inv_b
+            g_we = jax.lax.dot_general(
+                x, g_mu, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_be = jnp.sum(g_mu, axis=0, keepdims=True)
+            g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
+                    + 0.5 * (jnp.exp(ep) - 1.0) * lat_mask_safe(lat_m))
+            if tdv:
+                g_eps = (-0.5 * inv_var * inv_b * sum_r2
+                         + 0.5 * data_dim
+                         + jnp.sum(g_y * z2) * 0.5 * jnp.exp(eps * 0.5))
+                g_eps_s = g_eps * eps_const
+                col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) == 0)
+                g_eps_row = jnp.where(col0, g_eps_s, 0.0)
+            else:
+                g_eps_row = jnp.zeros((1, N), jnp.float32)
+            g_vec = jnp.concatenate(
+                [g_be, g_bd, g_ep, g_eps_row, jnp.zeros((4, N), jnp.float32)],
+                axis=0)
+
+            # --- Adam (optax.adam formula) --------------------------------
+            we, mwe, vwe = _adam(we, mwe, vwe, g_we, t, lr)
+            wd, mwd, vwd = _adam(wd, mwd, vwd, g_wd, t, lr)
+            vec, mvec, vvec = _adam(vec, mvec, vvec, g_vec, t, lr)
+            return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec
+
+        init = (we_ref[:], wd_ref[:], vec_ref[:], mwe_ref[:], vwe_ref[:],
+                mwd_ref[:], vwd_ref[:], mvec_ref[:], vvec_ref[:])
+        out = jax.lax.fori_loop(0, n_steps, body, init)
+        we_out[:], wd_out[:], vec_out[:] = out[0], out[1], out[2]
+        mwe_out[:], vwe_out[:] = out[3], out[4]
+        mwd_out[:], vwd_out[:] = out[5], out[6]
+        mvec_out[:], vvec_out[:] = out[7], out[8]
+
+    return kernel
+
+
+def lat_mask_safe(lat_m):
+    # KL's ∂/∂ep term is analytically zero on padded cols (e^0 - 1 = 0) but
+    # masking keeps it exactly zero under any future layout change.
+    return lat_m
+
+
+def run_fused_chunk(
+    *,
+    n_steps: int,
+    seed_and_t0: jax.Array,  # (2,) int32
+    a_t: jax.Array,  # (N, N)
+    we: jax.Array,
+    wd: jax.Array,
+    vec: jax.Array,
+    mwe, vwe, mwd, vwd, mvec, vvec,
+    batch: int,
+    data_dim: int,
+    latent_dim: int,
+    intrinsic_dim: int,
+    var_added: float,
+    eps_const: float,
+    tdv: bool,
+    lr: float,
+    external_noise: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    interpret: bool = False,
+):
+    """Invoke the fused kernel for one chunk. Returns updated buffers + the
+    per-step loss trace (n_steps,)."""
+    kernel = _make_kernel(
+        n_steps=n_steps, batch=batch, data_dim=data_dim,
+        latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
+        var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
+        external_noise=external_noise is not None,
+    )
+    state_shapes = [jax.ShapeDtypeStruct((N, N), jnp.float32)] * 2 + [
+        jax.ShapeDtypeStruct((8, N), jnp.float32)
+    ] + [jax.ShapeDtypeStruct((N, N), jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((8, N), jnp.float32)
+    ] * 2
+    out_shapes = tuple(state_shapes) + (
+        jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+    )
+    inputs = [a_t, we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec]
+    if external_noise is not None:
+        inputs += list(external_noise)
+    n_in = len(inputs)
+    # input_output_aliases indices span ALL flattened inputs including the
+    # scalar-prefetch operand (index 0 = seed_and_t0, 1 = a_t). The nine
+    # state buffers (we..vvec, flattened indices 2..10) alias outputs 0..8
+    # so the training state round-trips in place.
+    aliases = {j + 1: j - 1 for j in range(1, 10)}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 10),
+    )
+    flops_per_step = 6 * 2 * N * N * N
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * n_steps,
+            bytes_accessed=(6 * N * N + 3 * 8 * N + n_steps) * 4,
+            transcendentals=12 * N * N * n_steps,
+        ),
+    )(seed_and_t0, *inputs)
+    (we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec, losses) = out
+    return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec, losses[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# TrainState <-> padded-buffer packing
+# ---------------------------------------------------------------------------
+
+
+def _adam_state(opt_state) -> optax.ScaleByAdamState:
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+    ):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+    raise ValueError("no ScaleByAdamState in opt_state")
+
+
+def _pack_mat(dst_shape, mat):
+    out = jnp.zeros(dst_shape, jnp.float32)
+    return out.at[: mat.shape[0], : mat.shape[1]].set(mat)
+
+
+def _pack_vec_buffer(be, bd, ep, eps_s):
+    vec = jnp.zeros((8, N), jnp.float32)
+    vec = vec.at[ROW_BE, : be.shape[0]].set(be)
+    vec = vec.at[ROW_BD, : bd.shape[0]].set(bd)
+    vec = vec.at[ROW_EP, : ep.shape[0]].set(ep)
+    if eps_s is not None:
+        vec = vec.at[ROW_EPS, 0].set(eps_s[0])
+    return vec
+
+
+def pack_state(state: TrainState, data_dim: int, latent_dim: int, tdv: bool):
+    p = state.params
+    adam = _adam_state(state.opt_state)
+
+    def mats(tree):
+        return (
+            _pack_mat((N, N), tree["Encoder"]["FC0"]["kernel"]),
+            _pack_mat((N, N), tree["Decoder"]["FC0"]["kernel"]),
+            _pack_vec_buffer(
+                tree["Encoder"]["FC0"]["bias"],
+                tree["Decoder"]["FC0"]["bias"],
+                tree["epsilon_p"],
+                tree.get("epsilon") if tdv else None,
+            ),
+        )
+
+    we, wd, vec = mats(p)
+    mwe, mwd, mvec = mats(adam.mu)
+    vwe, vwd, vvec = mats(adam.nu)
+    return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec
+
+
+def unpack_state(
+    state: TrainState,
+    buffers,
+    n_steps: int,
+    data_dim: int,
+    latent_dim: int,
+    tdv: bool,
+) -> TrainState:
+    we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec = buffers
+    adam = _adam_state(state.opt_state)
+
+    def unmats(we_, wd_, vec_, template):
+        out = dict(template)
+        out["Encoder"] = {
+            "FC0": {
+                "kernel": we_[:data_dim, :latent_dim],
+                "bias": vec_[ROW_BE, :latent_dim],
+            }
+        }
+        out["Decoder"] = {
+            "FC0": {
+                "kernel": wd_[:latent_dim, :data_dim],
+                "bias": vec_[ROW_BD, :data_dim],
+            }
+        }
+        out["epsilon_p"] = vec_[ROW_EP, :latent_dim]
+        if tdv:
+            out["epsilon"] = vec_[ROW_EPS, 0:1]
+        return out
+
+    params = unmats(we, wd, vec, state.params)
+    mu = unmats(mwe, mwd, mvec, adam.mu)
+    nu = unmats(vwe, vwd, vvec, adam.nu)
+    new_count = adam.count + n_steps
+
+    def rebuild(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=new_count, mu=mu, nu=nu)
+        return s
+
+    opt_state = jax.tree_util.tree_map(
+        rebuild, state.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+    )
+    return state.replace(
+        params=params, opt_state=opt_state, step=state.step + n_steps
+    )
+
+
+# ---------------------------------------------------------------------------
+# StepFns integration
+# ---------------------------------------------------------------------------
+
+
+def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
+    from ..data.synthetic import LinearGaussianDataset
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False, f"backend {jax.default_backend()!r} is not a TPU"
+    if not isinstance(dataset, LinearGaussianDataset):
+        return False, "fused kernel supports the linear_gaussian dataset"
+    if model.encoder_features != (model.latent_dim,) or model.decoder_features != (
+        dataset.dimension,
+    ):
+        return False, "fused kernel supports 0-hidden-layer (pure linear) nets"
+    if model.dual_sigmoid_decoder:
+        return False, "dual sigmoid decoder not supported"
+    if cfg.batch_size > N:
+        return False, f"batch_size must be <= {N}"
+    if dataset.dimension > N or model.latent_dim > N or dataset.intrinsic_dim > N:
+        return False, f"dims must be <= {N}"
+    if cfg.mesh:
+        return False, "mesh training uses the XLA path"
+    return True, "ok"
+
+
+def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
+    data_dim = dataset.dimension
+    latent_dim = model.latent_dim
+    tdv = model.tunable_decoder_var
+    a_t = _pack_mat((N, N), dataset.A.T)
+
+    base = make_step_fns(model, dataset, tx, cfg.batch_size)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def train_chunk(state: TrainState, n_steps: int):
+        k1 = jax.random.fold_in(state.data_key, state.step)
+        k2 = jax.random.fold_in(state.model_key, state.step)
+        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+        seed_and_t0 = jnp.stack([seed, t0])
+        buffers = pack_state(state, data_dim, latent_dim, tdv)
+        *new_buffers, losses = run_fused_chunk(
+            n_steps=n_steps,
+            seed_and_t0=seed_and_t0,
+            a_t=a_t,
+            we=buffers[0], wd=buffers[1], vec=buffers[2],
+            mwe=buffers[3], vwe=buffers[4], mwd=buffers[5], vwd=buffers[6],
+            mvec=buffers[7], vvec=buffers[8],
+            batch=cfg.batch_size,
+            data_dim=data_dim,
+            latent_dim=latent_dim,
+            intrinsic_dim=dataset.intrinsic_dim,
+            var_added=dataset.var_added,
+            eps_const=model.epsilon,
+            tdv=tdv,
+            lr=cfg.learning_rate,
+        )
+        new_state = unpack_state(
+            state, new_buffers, n_steps, data_dim, latent_dim, tdv
+        )
+        return new_state, losses
+
+    return StepFns(
+        train_chunk=train_chunk,
+        eval_loss=base.eval_loss,
+        generate=base.generate,
+        score=base.score,
+        loss_and_grads=base.loss_and_grads,
+        place_state=None,
+    )

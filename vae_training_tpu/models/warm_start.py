@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def warm_start_sigmoid(params: dict, dataset, latent_dim: int, key: jax.Array) -> dict:
@@ -99,7 +100,8 @@ def warm_start_linear_gaussian(
     dec_const = jnp.concatenate([dec_top, dec_pad_rows], axis=0)  # (data, latent)
     dec_const = dec_const + 0.01 * jax.random.normal(k_dec, (data_dim, latent_dim))
 
-    enc_const = jnp.linalg.pinv(A)  # (intrinsic, dim)
+    # Host-side pinv: one-time init math; TPU SVD support is unreliable.
+    enc_const = jnp.asarray(np.linalg.pinv(np.asarray(A)))  # (intrinsic, dim)
     enc_zero_rows = jnp.zeros((latent_dim - intrinsic, dataset.dim))
     enc_zero_cols = jnp.zeros((latent_dim, data_dim - dataset.dim))
     enc_const = jnp.concatenate([enc_const, enc_zero_rows], axis=0)

@@ -136,6 +136,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_step_fns(self):
         if self.cfg.mesh:
+            if self.cfg.kernels == "pallas":
+                raise ValueError(
+                    "--kernels pallas is single-chip; remove --mesh or use "
+                    "--kernels auto/xla for mesh training"
+                )
             from ..parallel.api import make_parallel_step_fns
 
             return make_parallel_step_fns(
