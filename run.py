@@ -23,6 +23,11 @@ from vae_training_tpu.train import Trainer
 
 def main(cfg: RunConfig) -> int:
     cfg.validate()
+    if cfg.seed_grid:
+        from vae_training_tpu.train.grid import run_seed_grid
+
+        seeds = [int(s) for s in cfg.seed_grid.split(",") if s.strip()]
+        return run_seed_grid(cfg, seeds)
     output_dir = make_output_dir(cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir)
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
     trainer = Trainer(cfg, dataset, output_dir)

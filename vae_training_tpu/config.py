@@ -58,6 +58,7 @@ class RunConfig:
     debug_nans: bool = False  # jax_debug_nans mode (TPU analogue of -nojit)
     data_dir: str = "data"  # reference DATA_DIR (/root/reference/utils.py:11)
     checkpoint_every: int = 0  # 0 = only at plot cadence (reference behavior)
+    seed_grid: str = ""  # e.g. "2,3,4": all seeds vmapped in ONE launch
 
     # --- derived ----------------------------------------------------------
     @property
@@ -138,6 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
     p.add_argument("--data_dir", dest="data_dir", default="data")
     p.add_argument("--checkpoint_every", dest="checkpoint_every", type=int, default=0)
+    p.add_argument("--seed_grid", dest="seed_grid", default="",
+                   help="Comma-separated dataset seeds, e.g. '2,3,4': trains "
+                        "every seed simultaneously in one vmapped device "
+                        "program; outputs land in <name>_seed<N>/.")
     return p
 
 

@@ -1,0 +1,241 @@
+"""Batched multi-seed training: the whole seed sweep in ONE device launch.
+
+The reference's sweep scripts run each (seed, config) row as a separate
+process (/root/reference/seed_linpadding_expts.sh) — 21 sequential runs.
+Here, for a fixed architecture, all seeds train simultaneously as one
+``vmap``-ed scan program: dataset manifolds (the ``A`` matrices) and
+TrainStates are stacked along a leading grid axis, and XLA batches the tiny
+per-seed matmuls into one wide program that actually fills the MXU. This is
+BASELINE.json config 4 ("Batched multi-seed × latent-dim grid via vmap").
+
+Everything per-seed stays bit-identical to a solo run of the XLA path with
+the same keys: the grid axis only changes batching, not math.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import RunConfig
+from ..data.base import DistributionDataset
+from ..data.registry import get_dataset
+from ..evals.stats import StatsRecorder
+from ..models.networks import build_vae
+from ..models.warm_start import apply_warm_start
+from ..ops.elbo import elbo_terms
+from ..runio.export import save_model_pkl
+from ..runio.outdir import make_output_dir
+from .loop import EVAL_BATCH_SIZE, N_PLOT, N_PRINT
+from .state import TrainState
+from .step import sample_z, split_z
+
+
+def stack_pytrees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+class GridTrainer:
+    """Train one config across many dataset seeds in a single launch."""
+
+    def __init__(self, cfg: RunConfig, seeds: Sequence[int]):
+        self.cfg = cfg
+        self.seeds = list(seeds)
+        self.n_print = N_PRINT
+        self.n_plot = N_PLOT
+        self.eval_batch_size = EVAL_BATCH_SIZE
+
+        self.datasets: List[DistributionDataset] = [
+            get_dataset(cfg.dataset, s, cfg) for s in seeds
+        ]
+        data_dim = self.datasets[0].dimension
+        self.data_dim = data_dim
+        self.latent_dim = cfg.latent_dimension
+        self.model = build_vae(
+            data_dim=data_dim,
+            latent_dim=cfg.latent_dimension,
+            encoder_layer_sizes=cfg.encoder_layer_sizes,
+            decoder_layer_sizes=cfg.layer_sizes,
+            epsilon=cfg.epsilon,
+            tunable_decoder_var=cfg.tunable_decoder_var,
+            dataset_name=cfg.dataset,
+        )
+        self.tx = optax.adam(cfg.learning_rate)
+        self.dataset_grid = stack_pytrees(self.datasets)
+
+        states = []
+        for i, seed in enumerate(seeds):
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.model_seed), seed)
+            vae_key, key = jax.random.split(key)
+            params = self.model.init(
+                vae_key,
+                jnp.zeros((1, data_dim)),
+                jnp.zeros((1, self.latent_dim)),
+                jnp.zeros((1, data_dim)),
+            )["params"]
+            if cfg.warm_start:
+                ws_key, key = jax.random.split(key)
+                params = apply_warm_start(
+                    dict(params), cfg.dataset, self.datasets[i],
+                    self.latent_dim, cfg.latent_off_dimension, ws_key,
+                )
+            z_key, key = jax.random.split(key)
+            data_root = jax.random.PRNGKey(seed)
+            states.append(
+                TrainState.create(
+                    params=params, tx=self.tx,
+                    model_key=z_key,
+                    data_key=jax.random.fold_in(data_root, 1),
+                )
+            )
+        self.state_grid = stack_pytrees(states)
+        self._eval_counter = 0
+        self._host_key = jax.random.PRNGKey(cfg.model_seed + 1)
+
+        self.recorders = [StatsRecorder() for _ in seeds]
+        self.current_epsilon = [cfg.epsilon] * len(seeds)
+        self.batchnum = 0
+        self._build_fns()
+
+    # ------------------------------------------------------------------
+    def _build_fns(self):
+        model, tx = self.model, self.tx
+        batch_size = self.cfg.batch_size
+        latent_dim, data_dim = self.latent_dim, self.data_dim
+
+        def loss_fn(params, batch, z1, z2):
+            x_hat, mu, logvar_e, epsilon = model.apply(
+                {"params": params}, batch, z1, z2)
+            loss, dkl, mse = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+            return loss, (dkl, mse, logvar_e, epsilon)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def one_step(dataset, state):
+            kb = jax.random.fold_in(state.data_key, state.step)
+            kz = jax.random.fold_in(state.model_key, state.step)
+            batch = dataset.sample(kb, batch_size)
+            z = sample_z(kz, batch_size, latent_dim, data_dim)
+            z1, z2 = split_z(z, latent_dim)
+            (loss, _), grads = grad_fn(state.params, batch, z1, z2)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            ), loss
+
+        def chunk_one(dataset, state, n_steps):
+            def body(s, _):
+                return one_step(dataset, s)
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grid",))
+        def train_chunk(dataset_grid, state_grid, n_steps: int):
+            return jax.vmap(
+                partial(chunk_one, n_steps=n_steps)
+            )(dataset_grid, state_grid)
+
+        @jax.jit
+        def eval_grid(dataset_grid, state_grid, eval_key, gen_key, epsilons):
+            def one(dataset, state, eps, idx):
+                real = dataset.sample(
+                    jax.random.fold_in(eval_key, idx), self.eval_batch_size)
+                z = sample_z(
+                    jax.random.fold_in(gen_key, idx),
+                    self.eval_batch_size, latent_dim, data_dim)
+                z1, z2 = split_z(z, latent_dim)
+                fake = model.apply(
+                    {"params": state.params}, z1, z2, eps,
+                    method=type(model).generate)
+                x_hat, mu, logvar_e, epsilon = model.apply(
+                    {"params": state.params}, real, z1, z2)
+                loss, dkl, mse = elbo_terms(real, x_hat, mu, logvar_e, epsilon)
+                score = dataset.score(fake)
+                return loss, dkl, mse, logvar_e, epsilon, score
+
+            idxs = jnp.arange(len(self.seeds))
+            return jax.vmap(one)(dataset_grid, state_grid, epsilons, idxs)
+
+        self._train_chunk = train_chunk
+        self._eval_grid = eval_grid
+
+    # ------------------------------------------------------------------
+    def _next_event(self, b: int) -> int:
+        total = self.cfg.num_batches
+        nxt = ((b // self.n_print) + 1) * self.n_print
+        nxt = min(nxt, ((b // self.n_plot) + 1) * self.n_plot)
+        if b < total - 1:
+            nxt = min(nxt, total - 1)
+        return min(nxt, total)
+
+    def compute_and_write_stats(self):
+        self._host_key, k1 = jax.random.split(self._host_key)
+        self._host_key, k2 = jax.random.split(self._host_key)
+        eps = jnp.asarray(
+            [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
+            jnp.float32,
+        )
+        loss, dkl, mse, logvar_e, epsilon, score = jax.device_get(
+            self._eval_grid(self.dataset_grid, self.state_grid, k1, k2, eps)
+        )
+        for i, seed in enumerate(self.seeds):
+            rec = self.recorders[i]
+            rec.append_eval(loss[i], logvar_e[i], epsilon[i])
+            self.current_epsilon[i] = epsilon[i]
+            stats = {"VAE Loss": loss[i], "KL divergence": dkl[i],
+                     "mse": mse[i]}
+            stats.update({k: v[i] for k, v in score.items()})
+            msg = rec.write_stats(self.batchnum, stats)
+            print(f"[seed {seed}] {msg}", flush=True)
+
+    def save_all(self, outdirs, final=False):
+        # unstack the grid state once on host
+        states = jax.device_get(self.state_grid)
+        for i, out in enumerate(outdirs):
+            take = lambda x: x[i]
+            params = jax.tree_util.tree_map(take, states.params)
+            opt_state = jax.tree_util.tree_map(take, states.opt_state)
+            self.recorders[i].save_npz(out, final=final)
+            save_model_pkl(os.path.join(out, "model.pkl"), params, opt_state)
+
+    def train(self, outdirs):
+        total = self.cfg.num_batches
+        b = 0
+        while b < total:
+            self.batchnum = b
+            if b % self.n_print == 0:
+                self.compute_and_write_stats()
+            if b % self.n_plot == 0 or b == total - 1:
+                self.save_all(outdirs)
+            n = self._next_event(b) - b
+            self.state_grid, losses = self._train_chunk(
+                self.dataset_grid, self.state_grid, n)
+            losses = jax.device_get(losses)  # (n_seeds, n)
+            for i in range(len(self.seeds)):
+                self.recorders[i].append_train_losses(losses[i])
+            b += n
+        self.batchnum = max(total - 1, 0)
+
+
+def run_seed_grid(cfg: RunConfig, seeds: Sequence[int]) -> int:
+    """CLI entry: one launch, per-seed output dirs ``<name>_seed<N>``."""
+    trainer = GridTrainer(cfg, seeds)
+    outdirs = []
+    for seed in seeds:
+        sub = cfg.__class__(**{**cfg.to_json_dict()})
+        sub.dataset_seed = seed
+        outdirs.append(
+            make_output_dir(f"{cfg.name}_seed{seed}", cfg.overwrite, sub,
+                            data_dir=cfg.data_dir)
+        )
+    trainer.train(outdirs)
+    trainer.save_all(outdirs, final=True)
+    return 0
