@@ -1,0 +1,118 @@
+"""Image dataset, pure-JAX tiling, conv VAE, and the epoch-mode loop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_training_tpu.config import RunConfig
+from vae_training_tpu.data import ImageDataset, get_dataset
+from vae_training_tpu.models.conv import build_conv_vae
+from vae_training_tpu.ops.images import img_tile, resize_image, tile_images
+from vae_training_tpu.runio import make_output_dir
+from vae_training_tpu.train import Trainer
+
+
+def test_synthetic_digits_shapes():
+    ds = ImageDataset.synthetic_digits(0, n=32, size=16)
+    assert ds.images.shape == (32, 16, 16, 1)
+    assert ds.is_epochs and ds.dimension == 256 and ds.shape == (16, 16, 1)
+    assert float(ds.images.min()) >= -1.0 and float(ds.images.max()) <= 1.0
+    # deterministic by seed
+    ds2 = ImageDataset.synthetic_digits(0, n=32, size=16)
+    np.testing.assert_array_equal(np.asarray(ds.images), np.asarray(ds2.images))
+    batch = ds.sample(jax.random.PRNGKey(0), 8)
+    assert batch.shape == (8, 256)
+
+
+def test_npz_roundtrip(tmp_path):
+    ds = ImageDataset.synthetic_digits(1, n=8, size=16)
+    path = str(tmp_path / "imgs.npz")
+    ds.save(path)
+    ds2 = ImageDataset.from_npz(path)
+    np.testing.assert_allclose(
+        np.asarray(ds.images), np.asarray(ds2.images), atol=1e-6)
+
+
+def test_tile_images_layout():
+    imgs = jnp.stack([jnp.full((4, 4), -1.0), jnp.full((4, 4), 1.0)])
+    tile = tile_images(imgs, border=1)
+    # 2 images → 2x1 or 1x2 grid; [-1,1] mapped to [0,1]
+    assert set(np.unique(np.asarray(tile))) <= {0.0, 1.0}
+    r = resize_image(tile, (8, 8))
+    assert r.shape[:2] == (8, 8)
+
+
+def test_img_tile_writes_png(tmp_path):
+    imgs = np.random.RandomState(0).randn(9, 8, 8).astype(np.float32)
+    fn = str(tmp_path / "tile.png")
+    out = img_tile(imgs, fn, save=True)
+    assert os.path.exists(fn) and os.path.getsize(fn) > 0
+    assert out.shape == (256, 256)
+
+
+def test_conv_vae_forward_and_generate():
+    model = build_conv_vae(image_hwc=(16, 16, 1), latent_dim=8,
+                           channels_spec="8|16", epsilon=-1.0,
+                           tunable_decoder_var=True)
+    x = jnp.zeros((4, 256))
+    z1 = jnp.zeros((4, 8))
+    z2 = jnp.zeros((4, 256))
+    params = model.init(jax.random.PRNGKey(0), x, z1, z2)["params"]
+    assert set(params) >= {"Encoder", "Decoder", "epsilon_p", "epsilon"}
+    assert params["epsilon_p"].shape == (8,)
+    x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, x, z1, z2)
+    assert x_hat.shape == (4, 256) and mu.shape == (4, 8)
+    out = model.apply({"params": params}, z1, z2, jnp.asarray(-2.0),
+                      method=type(model).generate)
+    assert out.shape == (4, 256)
+
+
+def test_conv_vae_rejects_bad_size():
+    with pytest.raises(ValueError, match="divisible"):
+        model = build_conv_vae(image_hwc=(18, 18, 1), latent_dim=4)
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 324)),
+                   jnp.zeros((1, 4)), jnp.zeros((1, 324)))
+
+
+def test_epoch_mode_end_to_end(tmp_outdir):
+    from run import main
+
+    cfg = RunConfig(
+        name="img", dataset="image", image_source="synthetic",
+        image_size=16, num_images=256, num_epochs=3, batch_size=32,
+        latent_dimension=8, conv_channels="8|16", learning_rate=1e-3,
+        epsilon=-1.0, tunable_decoder_var=True, overwrite=True, tqdm=False,
+        data_dir=tmp_outdir,
+    ).validate()
+    assert main(cfg) == 0
+    out = os.path.join(tmp_outdir, "img")
+    files = set(os.listdir(out))
+    assert {"args.json", "losses.npz", "model.pkl"} <= files
+    assert "output_0.png" in files and "output_2.png" in files
+    z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
+    # 3 epochs × 8 batches + 4 evals
+    assert z["VAE Loss"].shape == (28,)
+    assert np.all(np.isfinite(z["VAE Loss"]))
+    # training reduces loss across epochs
+    evals = z["KL divergence"]
+    assert len(evals) == 4
+
+
+def test_epoch_training_converges(tmp_outdir):
+    cfg = RunConfig(
+        name="imgc", dataset="image", image_source="synthetic",
+        image_size=16, num_images=512, num_epochs=8, batch_size=64,
+        latent_dimension=16, conv_channels="8|16", learning_rate=1e-3,
+        epsilon=-1.0, tunable_decoder_var=True, overwrite=True, tqdm=False,
+        data_dir=tmp_outdir,
+    ).validate()
+    out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+    ds = get_dataset("image", 0, cfg)
+    trainer = Trainer(cfg, ds, out)
+    first = float(trainer.compute_stats()["VAE Loss"])
+    trainer.train()
+    last = float(trainer.compute_stats()["VAE Loss"])
+    assert last < first

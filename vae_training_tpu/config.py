@@ -59,6 +59,11 @@ class RunConfig:
     data_dir: str = "data"  # reference DATA_DIR (/root/reference/utils.py:11)
     checkpoint_every: int = 0  # 0 = only at plot cadence (reference behavior)
     seed_grid: str = ""  # e.g. "2,3,4": all seeds vmapped in ONE launch
+    arch: str = "auto"  # auto | mlp | conv (conv for image datasets)
+    conv_channels: str = "32|64"  # conv stack widths for --arch conv
+    image_source: str = "synthetic"  # synthetic | <path.npz> | <folder>
+    image_size: int = 28
+    num_images: int = 4096
 
     # --- derived ----------------------------------------------------------
     @property
@@ -98,7 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--padding_dim", type=int, dest="padding_dim", default=0)
     p.add_argument("-ow", dest="overwrite", action="store_true")
     p.add_argument("--dataset", dest="dataset", default="4gaussian",
-                   choices=["sphere", "linear_gaussian", "sigmoid", "gaussian"])
+                   choices=["sphere", "linear_gaussian", "sigmoid", "gaussian",
+                            "image"])
     p.add_argument("--layer_sizes", dest="layer_sizes", default="512|512",
                    help="Decoder MLP layer sizes as pipe-separated ints, e.g. 512|512; "
                         "empty string = pure linear decoder.")
@@ -143,6 +149,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Comma-separated dataset seeds, e.g. '2,3,4': trains "
                         "every seed simultaneously in one vmapped device "
                         "program; outputs land in <name>_seed<N>/.")
+    p.add_argument("--arch", dest="arch", default="auto",
+                   choices=["auto", "mlp", "conv"],
+                   help="Network architecture; auto = conv for image "
+                        "datasets, mlp otherwise.")
+    p.add_argument("--conv_channels", dest="conv_channels", default="32|64")
+    p.add_argument("--image_source", dest="image_source", default="synthetic",
+                   help="'synthetic' or a path to an .npz / image folder.")
+    p.add_argument("--image_size", dest="image_size", type=int, default=28)
+    p.add_argument("--num_images", dest="num_images", type=int, default=4096)
     return p
 
 

@@ -1,4 +1,5 @@
 from .base import DistributionDataset, pad_with_zeros, padding_energy
+from .images import ImageDataset
 from .registry import dataset_names, get_dataset, register_dataset
 from .synthetic import (
     GaussianDataset,
@@ -9,6 +10,7 @@ from .synthetic import (
 
 __all__ = [
     "DistributionDataset",
+    "ImageDataset",
     "GaussianDataset",
     "LinearGaussianDataset",
     "SigmoidDataset",

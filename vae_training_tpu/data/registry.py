@@ -60,6 +60,23 @@ def _make_sigmoid(seed, args) -> SigmoidDataset:
     )
 
 
+@register_dataset("image")
+def _make_image(seed, args):
+    """Epoch-mode image corpus (conv VAE path, BASELINE.json config 5)."""
+    from .images import ImageDataset
+
+    source = getattr(args, "image_source", "synthetic")
+    if source == "synthetic":
+        return ImageDataset.synthetic_digits(
+            seed,
+            n=getattr(args, "num_images", 4096),
+            size=getattr(args, "image_size", 28),
+        )
+    if source.endswith(".npz"):
+        return ImageDataset.from_npz(source)
+    return ImageDataset.from_folder(source, size=getattr(args, "image_size", None))
+
+
 @register_dataset("gaussian")
 def _make_gaussian(seed, args) -> GaussianDataset:
     # Wired explicitly (the reference defines GaussianDataset at

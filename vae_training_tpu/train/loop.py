@@ -64,15 +64,34 @@ class Trainer:
 
         data_dim = dataset.dimension
         self.latent_dim = cfg.latent_dimension
-        self.model = build_vae(
-            data_dim=data_dim,
-            latent_dim=cfg.latent_dimension,
-            encoder_layer_sizes=cfg.encoder_layer_sizes,
-            decoder_layer_sizes=cfg.layer_sizes,
-            epsilon=cfg.epsilon,
-            tunable_decoder_var=cfg.tunable_decoder_var,
-            dataset_name=cfg.dataset,
-        )
+        arch = cfg.arch
+        if arch == "auto":
+            arch = "conv" if dataset.is_epochs else "mlp"
+        if arch == "conv":
+            if len(dataset.shape) != 3:
+                raise ValueError(
+                    "--arch conv requires an image dataset (H, W, C); "
+                    f"--dataset {cfg.dataset} has shape {tuple(dataset.shape)}"
+                )
+            from ..models.conv import build_conv_vae
+
+            self.model = build_conv_vae(
+                image_hwc=tuple(dataset.shape),
+                latent_dim=cfg.latent_dimension,
+                channels_spec=cfg.conv_channels,
+                epsilon=cfg.epsilon,
+                tunable_decoder_var=cfg.tunable_decoder_var,
+            )
+        else:
+            self.model = build_vae(
+                data_dim=data_dim,
+                latent_dim=cfg.latent_dimension,
+                encoder_layer_sizes=cfg.encoder_layer_sizes,
+                decoder_layer_sizes=cfg.layer_sizes,
+                epsilon=cfg.epsilon,
+                tunable_decoder_var=cfg.tunable_decoder_var,
+                dataset_name=cfg.dataset,
+            )
 
         # Host-side key chain, seeded like the reference's fixed PRNGKey(0)
         # (/root/reference/model.py:29) but configurable via --model_seed.
@@ -115,6 +134,13 @@ class Trainer:
         self.fns = self._build_step_fns()
         if self.fns.place_state is not None:
             self.state = self.fns.place_state(self.state)
+        if dataset.is_epochs:
+            from .step import make_epoch_chunk
+
+            self.epoch_chunk = make_epoch_chunk(
+                self.model, dataset, self.tx, cfg.batch_size
+            )
+        self.epoch_num = 0
 
         self.recorder = StatsRecorder()
         self.epsilon = cfg.epsilon
@@ -233,7 +259,9 @@ class Trainer:
         return stats
 
     def write_stats(self, stats: dict) -> None:
-        message = self.recorder.write_stats(self.batchnum, stats)
+        is_epochs = self.dataset.is_epochs
+        num = self.epoch_num if is_epochs else self.batchnum
+        message = self.recorder.write_stats(num, stats, is_epochs=is_epochs)
         print(message, flush=True)
 
     def plot_model_specific(self):
@@ -245,7 +273,9 @@ class Trainer:
     def plot_epoch(self) -> None:
         key = self.get_key()
         batch = self.sample_batch(key, self.eval_batch_size)[0]
-        fn = os.path.join(self.dirname, f"output_{self.batchnum}.png")
+        # epoch datasets index plots by epoch (/root/reference/model.py:142-145)
+        tag = self.epoch_num if self.dataset.is_epochs else self.batchnum
+        fn = os.path.join(self.dirname, f"output_{tag}.png")
         self.dataset.plot_batch(np.asarray(batch), fn=fn)
 
     # ------------------------------------------------------------------
@@ -260,11 +290,46 @@ class Trainer:
 
     def train(self) -> None:
         if self.dataset.is_epochs:
+            self.train_epochs()
+        else:
+            self.train_distribution()
+
+    def train_epochs(self) -> None:
+        """Epoch-mode loop: each epoch is ONE compiled device program.
+
+        Cadence mirrors /root/reference/model.py:176-193: stats before
+        training, then per epoch train-all-batches → stats → plot → save.
+        """
+        if self.cfg.mesh:
             raise NotImplementedError(
-                "epoch-mode datasets (torch dataloaders) are not part of the "
-                "live capability surface — see SURVEY.md §1 dead-code boundary"
+                "mesh training for epoch-mode datasets is not wired yet; "
+                "drop --mesh"
             )
-        self.train_distribution()
+        n_batches = self.dataset.n // self.cfg.batch_size
+        if n_batches == 0:
+            raise ValueError("batch_size exceeds the dataset size")
+        self.batchnum = 0
+        self.write_stats(self.compute_stats())
+        progress = None
+        if self.cfg.tqdm:
+            try:
+                from tqdm import trange
+
+                progress = trange(self.cfg.num_epochs)
+            except Exception:
+                progress = None
+        epochs = progress if progress is not None else range(self.cfg.num_epochs)
+        for self.epoch_num in epochs:
+            self.state, losses = self.epoch_chunk(
+                self.state, jnp.asarray(self.epoch_num), n_batches
+            )
+            self.recorder.append_train_losses(jax.device_get(losses))
+            self.batchnum += n_batches
+            stats = self.compute_stats()
+            print(f"Completed Epoch {self.epoch_num}", flush=True)
+            self.write_stats(stats)
+            self.plot_epoch()
+            self.save()
 
     def train_distribution(self) -> None:
         eval_batch = self.dataset.sample(

@@ -109,7 +109,9 @@ def make_step_fns(
     def generate(params, z1, z2, epsilon):
         """Ancestral sampling — jitted ONCE (the reference re-jits a fresh
         partial on every call: /root/reference/vae.py:199)."""
-        return model.apply({"params": params}, z1, z2, epsilon, method=VAE.generate)
+        return model.apply(
+            {"params": params}, z1, z2, epsilon, method=type(model).generate
+        )
 
     @jax.jit
     def score(batch):
@@ -127,3 +129,48 @@ def make_step_fns(
         score=score,
         loss_and_grads=loss_and_grads,
     )
+
+
+def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
+                     batch_size: int) -> Callable:
+    """One FULL epoch as a single compiled program (epoch-mode datasets).
+
+    The dataset array lives on device; the epoch is a scan over minibatch
+    slices of an on-device shuffled permutation — the TPU-native replacement
+    for the reference's torch-dataloader epoch loop
+    (/root/reference/model.py:176-193). Returns
+    ``epoch_chunk(state, epoch, n_batches) -> (state, losses[n_batches])``.
+    """
+    latent_dim = model.latent_dim
+    data_dim = dataset.dimension
+    flat_images = dataset.images.reshape(dataset.images.shape[0], -1)
+    n_total = flat_images.shape[0]
+
+    def loss_fn(params, batch, z1, z2):
+        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
+        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @partial(jax.jit, static_argnames=("n_batches",), donate_argnames=("state",))
+    def epoch_chunk(state: TrainState, epoch: jax.Array, n_batches: int):
+        perm = jax.random.permutation(
+            jax.random.fold_in(state.data_key, epoch), n_total
+        )
+
+        def body(s, i):
+            idx = jax.lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+            batch = jnp.take(flat_images, idx, axis=0)
+            kz = jax.random.fold_in(s.model_key, s.step)
+            z = sample_z(kz, batch_size, latent_dim, data_dim)
+            z1, z2 = split_z(z, latent_dim)
+            loss, grads = grad_fn(s.params, batch, z1, z2)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return s.replace(params=params, opt_state=opt_state,
+                             step=s.step + 1), loss
+
+        return jax.lax.scan(body, state, jnp.arange(n_batches))
+
+    return epoch_chunk
