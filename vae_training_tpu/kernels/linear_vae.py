@@ -46,7 +46,7 @@ B1, B2, ADAM_EPS = 0.9, 0.999, 1e-8
 LOG_2PI = math.log(2.0 * math.pi)
 
 # vec-buffer row layout: packed small parameters, one Adam update for all
-ROW_BE, ROW_BD, ROW_EP, ROW_EPS = 0, 1, 2, 3
+ROW_BE, ROW_BD, ROW_EP, ROW_EPS, ROW_BS = 0, 1, 2, 3, 4
 
 
 def _uniform(shape):
@@ -96,36 +96,55 @@ def _make_kernel(
     tdv: bool,
     lr: float,
     external_noise: bool,
+    dataset_kind: str = "linear",  # "linear" | "sigmoid"
+    dual: bool = False,  # dual sigmoid+plain decoder (sigmoid configs)
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
-    compared against the XLA train step exactly."""
+    compared against the XLA train step exactly.
+
+    ``dataset_kind='sigmoid'`` samples Y = [z, σ(z·A), 0-pad] in-kernel
+    (/root/reference/datasets.py:240-249); ``dual=True`` adds the sigmoid
+    decoder head x̂ = σ(s·Ws + bs) + s·Wd + bd
+    (/root/reference/networks.py:75-78) with its analytic backward.
+    """
 
     inv_b = 1.0 / batch
 
     def kernel(seed_ref, *refs):
         if external_noise:
-            (at_ref, we_ref, wd_ref, vec_ref, mwe_ref, vwe_ref, mwd_ref,
-             vwd_ref, mvec_ref, vvec_ref, xn_ref, z1n_ref, z2n_ref,
-             we_out, wd_out, vec_out, mwe_out, vwe_out, mwd_out, vwd_out,
+            (at_ref, we_ref, wd_ref, ws_ref, vec_ref,
+             mwe_ref, vwe_ref, mwd_ref, vwd_ref, mws_ref, vws_ref,
+             mvec_ref, vvec_ref, xn_ref, z1n_ref, z2n_ref,
+             we_out, wd_out, ws_out, vec_out,
+             mwe_out, vwe_out, mwd_out, vwd_out, mws_out, vws_out,
              mvec_out, vvec_out, loss_ref) = refs
         else:
-            (at_ref, we_ref, wd_ref, vec_ref, mwe_ref, vwe_ref, mwd_ref,
-             vwd_ref, mvec_ref, vvec_ref,
-             we_out, wd_out, vec_out, mwe_out, vwe_out, mwd_out, vwd_out,
+            (at_ref, we_ref, wd_ref, ws_ref, vec_ref,
+             mwe_ref, vwe_ref, mwd_ref, vwd_ref, mws_ref, vws_ref,
+             mvec_ref, vvec_ref,
+             we_out, wd_out, ws_out, vec_out,
+             mwe_out, vwe_out, mwd_out, vwd_out, mws_out, vws_out,
              mvec_out, vvec_out, loss_ref) = refs
             pltpu.prng_seed(seed_ref[0])
 
         t0 = seed_ref[1].astype(jnp.float32)
-        a_t = at_ref[:]  # (N, N): A.T padded — rows < intrinsic, cols < dim
+        # (N, N) manifold matrix: linear → A.T at [:intrinsic, :dim];
+        # sigmoid → A's column at [:dim, dim] so n·a_t lands σ's logit in
+        # the σ-coordinate column.
+        a_t = at_ref[:]
 
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
         int_m = _col_mask(intrinsic_dim)
         row_m = _row_mask(batch)
+        if dataset_kind == "sigmoid":
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+            sig_col_m = (col_ids == intrinsic_dim).astype(jnp.float32)
 
         def body(i, carry):
-            we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec = carry
+            (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws,
+             mvec, vvec) = carry
             t = t0 + i.astype(jnp.float32) + 1.0
 
             # --- sample (on-device dataset + prior noise) ---------------
@@ -135,9 +154,15 @@ def _make_kernel(
                 z2 = z2n_ref[i]
             else:
                 n_int = _normal_block() * int_m
-                x = jnp.dot(n_int, a_t, preferred_element_type=jnp.float32)
-                if var_added > 0.0:
-                    x = x + _normal_block() * dat_m * math.sqrt(var_added)
+                if dataset_kind == "sigmoid":
+                    logit = jnp.dot(n_int, a_t,
+                                    preferred_element_type=jnp.float32)
+                    x = n_int + jax.nn.sigmoid(logit) * sig_col_m
+                else:
+                    x = jnp.dot(n_int, a_t,
+                                preferred_element_type=jnp.float32)
+                    if var_added > 0.0:
+                        x = x + _normal_block() * dat_m * math.sqrt(var_added)
                 x = x * row_m
                 z1 = _normal_block() * lat_m * row_m
                 z2 = _normal_block() * dat_m * row_m
@@ -156,6 +181,11 @@ def _make_kernel(
             sdev = jnp.exp(ep * 0.5) * lat_m  # e^{ep/2} on live cols, 0 pad
             s = mu + sdev * z1
             y = jnp.dot(s, wd, preferred_element_type=jnp.float32) + bd
+            if dual:
+                u = jnp.dot(s, ws, preferred_element_type=jnp.float32) + bs_row(vec)
+                sig_u = jax.nn.sigmoid(u)
+                # mask: padded output cols would otherwise get σ(0)=0.5
+                y = y + sig_u * dat_m
             y = (y + z2 * jnp.exp(eps * 0.5)) * row_m
             r = y - x
             inv_var = jnp.exp(-eps)
@@ -181,13 +211,25 @@ def _make_kernel(
             g_s = jax.lax.dot_general(
                 g_y, wd, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if dual:
+                g_u = g_y * sig_u * (1.0 - sig_u) * dat_m
+                g_ws = jax.lax.dot_general(
+                    s, g_u, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                g_bs = jnp.sum(g_u, axis=0, keepdims=True)
+                g_s = g_s + jax.lax.dot_general(
+                    g_u, ws, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                g_ws = jnp.zeros((N, N), jnp.float32)
+                g_bs = jnp.zeros((1, N), jnp.float32)
             g_mu = g_s + mu * inv_b
             g_we = jax.lax.dot_general(
                 x, g_mu, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             g_be = jnp.sum(g_mu, axis=0, keepdims=True)
             g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
-                    + 0.5 * (jnp.exp(ep) - 1.0) * lat_mask_safe(lat_m))
+                    + 0.5 * (jnp.exp(ep) - 1.0) * lat_m)
             if tdv:
                 g_eps = (-0.5 * inv_var * inv_b * sum_r2
                          + 0.5 * data_dim
@@ -198,30 +240,35 @@ def _make_kernel(
             else:
                 g_eps_row = jnp.zeros((1, N), jnp.float32)
             g_vec = jnp.concatenate(
-                [g_be, g_bd, g_ep, g_eps_row, jnp.zeros((4, N), jnp.float32)],
+                [g_be, g_bd, g_ep, g_eps_row, g_bs,
+                 jnp.zeros((3, N), jnp.float32)],
                 axis=0)
 
             # --- Adam (optax.adam formula) --------------------------------
             we, mwe, vwe = _adam(we, mwe, vwe, g_we, t, lr)
             wd, mwd, vwd = _adam(wd, mwd, vwd, g_wd, t, lr)
+            if dual:
+                ws, mws, vws = _adam(ws, mws, vws, g_ws, t, lr)
             vec, mvec, vvec = _adam(vec, mvec, vvec, g_vec, t, lr)
-            return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec
+            return we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
 
-        init = (we_ref[:], wd_ref[:], vec_ref[:], mwe_ref[:], vwe_ref[:],
-                mwd_ref[:], vwd_ref[:], mvec_ref[:], vvec_ref[:])
+        init = (we_ref[:], wd_ref[:], ws_ref[:], vec_ref[:],
+                mwe_ref[:], vwe_ref[:], mwd_ref[:], vwd_ref[:],
+                mws_ref[:], vws_ref[:], mvec_ref[:], vvec_ref[:])
         out = jax.lax.fori_loop(0, n_steps, body, init)
-        we_out[:], wd_out[:], vec_out[:] = out[0], out[1], out[2]
-        mwe_out[:], vwe_out[:] = out[3], out[4]
-        mwd_out[:], vwd_out[:] = out[5], out[6]
-        mvec_out[:], vvec_out[:] = out[7], out[8]
+        outs = (we_out, wd_out, ws_out, vec_out, mwe_out, vwe_out,
+                mwd_out, vwd_out, mws_out, vws_out, mvec_out, vvec_out)
+        for dst, val in zip(outs, out):
+            dst[:] = val
 
     return kernel
 
 
-def lat_mask_safe(lat_m):
-    # KL's ∂/∂ep term is analytically zero on padded cols (e^0 - 1 = 0) but
-    # masking keeps it exactly zero under any future layout change.
-    return lat_m
+def bs_row(vec):
+    return vec[ROW_BS:ROW_BS + 1, :]
+
+
+N_STATE_BUFFERS = 12  # we, wd, ws, vec, + adam m/v for each
 
 
 def run_fused_chunk(
@@ -229,10 +276,7 @@ def run_fused_chunk(
     n_steps: int,
     seed_and_t0: jax.Array,  # (2,) int32
     a_t: jax.Array,  # (N, N)
-    we: jax.Array,
-    wd: jax.Array,
-    vec: jax.Array,
-    mwe, vwe, mwd, vwd, mvec, vvec,
+    buffers,  # 12-tuple: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
     batch: int,
     data_dim: int,
     latent_dim: int,
@@ -241,42 +285,46 @@ def run_fused_chunk(
     eps_const: float,
     tdv: bool,
     lr: float,
+    dataset_kind: str = "linear",
+    dual: bool = False,
     external_noise: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
 ):
-    """Invoke the fused kernel for one chunk. Returns updated buffers + the
-    per-step loss trace (n_steps,)."""
+    """Invoke the fused kernel for one chunk. Returns (new_buffers, losses)."""
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None,
+        dataset_kind=dataset_kind, dual=dual,
     )
-    state_shapes = [jax.ShapeDtypeStruct((N, N), jnp.float32)] * 2 + [
-        jax.ShapeDtypeStruct((8, N), jnp.float32)
-    ] + [jax.ShapeDtypeStruct((N, N), jnp.float32)] * 4 + [
-        jax.ShapeDtypeStruct((8, N), jnp.float32)
-    ] * 2
+    mat = jax.ShapeDtypeStruct((N, N), jnp.float32)
+    vecb = jax.ShapeDtypeStruct((8, N), jnp.float32)
+    # order: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
+    state_shapes = [mat, mat, mat, vecb, mat, mat, mat, mat, mat, mat,
+                    vecb, vecb]
     out_shapes = tuple(state_shapes) + (
         jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
     )
-    inputs = [a_t, we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec]
+    inputs = [a_t, *buffers]
     if external_noise is not None:
         inputs += list(external_noise)
     n_in = len(inputs)
     # input_output_aliases indices span ALL flattened inputs including the
-    # scalar-prefetch operand (index 0 = seed_and_t0, 1 = a_t). The nine
-    # state buffers (we..vvec, flattened indices 2..10) alias outputs 0..8
-    # so the training state round-trips in place.
-    aliases = {j + 1: j - 1 for j in range(1, 10)}
+    # scalar-prefetch operand (index 0 = seed_and_t0, 1 = a_t). The twelve
+    # state buffers (flattened indices 2..13) alias outputs 0..11 so the
+    # training state round-trips in place.
+    aliases = {j + 1: j - 1 for j in range(1, N_STATE_BUFFERS + 1)}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 10),
+        out_specs=tuple(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (N_STATE_BUFFERS + 1)
+        ),
     )
-    flops_per_step = 6 * 2 * N * N * N
+    n_matmuls = 10 if dual else 6
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -287,13 +335,12 @@ def run_fused_chunk(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_step * n_steps,
-            bytes_accessed=(6 * N * N + 3 * 8 * N + n_steps) * 4,
+            flops=n_matmuls * 2 * N * N * N * n_steps,
+            bytes_accessed=(9 * N * N + 3 * 8 * N + n_steps) * 4,
             transcendentals=12 * N * N * n_steps,
         ),
     )(seed_and_t0, *inputs)
-    (we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec, losses) = out
-    return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec, losses[:, 0]
+    return out[:N_STATE_BUFFERS], out[N_STATE_BUFFERS][:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -315,36 +362,44 @@ def _pack_mat(dst_shape, mat):
     return out.at[: mat.shape[0], : mat.shape[1]].set(mat)
 
 
-def _pack_vec_buffer(be, bd, ep, eps_s):
+def _pack_vec_buffer(be, bd, ep, eps_s, bs=None):
     vec = jnp.zeros((8, N), jnp.float32)
     vec = vec.at[ROW_BE, : be.shape[0]].set(be)
     vec = vec.at[ROW_BD, : bd.shape[0]].set(bd)
     vec = vec.at[ROW_EP, : ep.shape[0]].set(ep)
     if eps_s is not None:
         vec = vec.at[ROW_EPS, 0].set(eps_s[0])
+    if bs is not None:
+        vec = vec.at[ROW_BS, : bs.shape[0]].set(bs)
     return vec
 
 
-def pack_state(state: TrainState, data_dim: int, latent_dim: int, tdv: bool):
+def pack_state(state: TrainState, data_dim: int, latent_dim: int, tdv: bool,
+               dual: bool = False):
+    """→ 12-tuple (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec)."""
     p = state.params
     adam = _adam_state(state.opt_state)
 
     def mats(tree):
+        dual_tree = tree.get("SigDecoder") if dual else None
         return (
             _pack_mat((N, N), tree["Encoder"]["FC0"]["kernel"]),
             _pack_mat((N, N), tree["Decoder"]["FC0"]["kernel"]),
+            (_pack_mat((N, N), dual_tree["FC0"]["kernel"]) if dual
+             else jnp.zeros((N, N), jnp.float32)),
             _pack_vec_buffer(
                 tree["Encoder"]["FC0"]["bias"],
                 tree["Decoder"]["FC0"]["bias"],
                 tree["epsilon_p"],
                 tree.get("epsilon") if tdv else None,
+                dual_tree["FC0"]["bias"] if dual else None,
             ),
         )
 
-    we, wd, vec = mats(p)
-    mwe, mwd, mvec = mats(adam.mu)
-    vwe, vwd, vvec = mats(adam.nu)
-    return we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec
+    we, wd, ws, vec = mats(p)
+    mwe, mwd, mws, mvec = mats(adam.mu)
+    vwe, vwd, vws, vvec = mats(adam.nu)
+    return we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
 
 
 def unpack_state(
@@ -354,11 +409,12 @@ def unpack_state(
     data_dim: int,
     latent_dim: int,
     tdv: bool,
+    dual: bool = False,
 ) -> TrainState:
-    we, wd, vec, mwe, vwe, mwd, vwd, mvec, vvec = buffers
+    (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec) = buffers
     adam = _adam_state(state.opt_state)
 
-    def unmats(we_, wd_, vec_, template):
+    def unmats(we_, wd_, ws_, vec_, template):
         out = dict(template)
         out["Encoder"] = {
             "FC0": {
@@ -372,14 +428,21 @@ def unpack_state(
                 "bias": vec_[ROW_BD, :data_dim],
             }
         }
+        if dual:
+            out["SigDecoder"] = {
+                "FC0": {
+                    "kernel": ws_[:latent_dim, :data_dim],
+                    "bias": vec_[ROW_BS, :data_dim],
+                }
+            }
         out["epsilon_p"] = vec_[ROW_EP, :latent_dim]
         if tdv:
             out["epsilon"] = vec_[ROW_EPS, 0:1]
         return out
 
-    params = unmats(we, wd, vec, state.params)
-    mu = unmats(mwe, mwd, mvec, adam.mu)
-    nu = unmats(vwe, vwd, vvec, adam.nu)
+    params = unmats(we, wd, ws, vec, state.params)
+    mu = unmats(mwe, mwd, mws, mvec, adam.mu)
+    nu = unmats(vwe, vwd, vws, vvec, adam.nu)
     new_count = adam.count + n_steps
 
     def rebuild(s):
@@ -402,21 +465,28 @@ def unpack_state(
 
 
 def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
-    from ..data.synthetic import LinearGaussianDataset
+    from ..data.synthetic import LinearGaussianDataset, SigmoidDataset
 
     if jax.default_backend() not in ("tpu", "axon"):
         return False, f"backend {jax.default_backend()!r} is not a TPU"
-    if not isinstance(dataset, LinearGaussianDataset):
-        return False, "fused kernel supports the linear_gaussian dataset"
+    if isinstance(dataset, LinearGaussianDataset):
+        if model.dual_sigmoid_decoder:
+            return False, "dual decoder needs the sigmoid dataset"
+        intrinsic = dataset.intrinsic_dim
+    elif isinstance(dataset, SigmoidDataset):
+        if not model.dual_sigmoid_decoder:
+            return False, "sigmoid dataset expects the dual decoder"
+        intrinsic = dataset.dim
+    else:
+        return False, ("fused kernel supports the linear_gaussian and "
+                       "sigmoid datasets")
     if model.encoder_features != (model.latent_dim,) or model.decoder_features != (
         dataset.dimension,
     ):
         return False, "fused kernel supports 0-hidden-layer (pure linear) nets"
-    if model.dual_sigmoid_decoder:
-        return False, "dual sigmoid decoder not supported"
     if cfg.batch_size > N:
         return False, f"batch_size must be <= {N}"
-    if dataset.dimension > N or model.latent_dim > N or dataset.intrinsic_dim > N:
+    if dataset.dimension > N or model.latent_dim > N or intrinsic > N:
         return False, f"dims must be <= {N}"
     if cfg.mesh:
         return False, "mesh training uses the XLA path"
@@ -424,10 +494,25 @@ def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
 
 
 def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
+    from ..data.synthetic import SigmoidDataset
+
     data_dim = dataset.dimension
     latent_dim = model.latent_dim
     tdv = model.tunable_decoder_var
-    a_t = _pack_mat((N, N), dataset.A.T)
+    dual = model.dual_sigmoid_decoder
+    if isinstance(dataset, SigmoidDataset):
+        dataset_kind = "sigmoid"
+        intrinsic_dim = dataset.dim
+        var_added = 0.0
+        # A's column lands the σ-logit in the σ-coordinate column (= dim).
+        a_t = jnp.zeros((N, N), jnp.float32).at[: dataset.dim, dataset.dim].set(
+            dataset.A[:, 0]
+        )
+    else:
+        dataset_kind = "linear"
+        intrinsic_dim = dataset.intrinsic_dim
+        var_added = dataset.var_added
+        a_t = _pack_mat((N, N), dataset.A.T)
 
     base = make_step_fns(model, dataset, tx, cfg.batch_size)
 
@@ -438,25 +523,25 @@ def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
         t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
         seed_and_t0 = jnp.stack([seed, t0])
-        buffers = pack_state(state, data_dim, latent_dim, tdv)
-        *new_buffers, losses = run_fused_chunk(
+        buffers = pack_state(state, data_dim, latent_dim, tdv, dual=dual)
+        new_buffers, losses = run_fused_chunk(
             n_steps=n_steps,
             seed_and_t0=seed_and_t0,
             a_t=a_t,
-            we=buffers[0], wd=buffers[1], vec=buffers[2],
-            mwe=buffers[3], vwe=buffers[4], mwd=buffers[5], vwd=buffers[6],
-            mvec=buffers[7], vvec=buffers[8],
+            buffers=buffers,
             batch=cfg.batch_size,
             data_dim=data_dim,
             latent_dim=latent_dim,
-            intrinsic_dim=dataset.intrinsic_dim,
-            var_added=dataset.var_added,
+            intrinsic_dim=intrinsic_dim,
+            var_added=var_added,
             eps_const=model.epsilon,
             tdv=tdv,
             lr=cfg.learning_rate,
+            dataset_kind=dataset_kind,
+            dual=dual,
         )
         new_state = unpack_state(
-            state, new_buffers, n_steps, data_dim, latent_dim, tdv
+            state, new_buffers, n_steps, data_dim, latent_dim, tdv, dual=dual
         )
         return new_state, losses
 

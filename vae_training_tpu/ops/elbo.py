@@ -18,9 +18,31 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 LOG_2PI = jnp.log(2.0 * jnp.pi)
+EPS = 1e-8
+
+
+@jax.vmap
+def binary_cross_entropy(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample summed BCE (library-surface parity with
+    /root/reference/networks.py:16-18; unused by the live ELBO)."""
+    return -jnp.sum(
+        labels * jnp.log(probs + EPS) + (1 - labels) * jnp.log(1 - probs + EPS)
+    )
+
+
+def fill_diagonal(a: jnp.ndarray, val) -> jnp.ndarray:
+    """Set the leading diagonal of the trailing 2 dims.
+
+    Reference: /root/reference/networks.py:20-23.
+    """
+    if a.ndim < 2:
+        raise ValueError("fill_diagonal needs ndim >= 2")
+    i, j = jnp.diag_indices(min(a.shape[-2:]))
+    return a.at[..., i, j].set(val)
 
 
 def kl_to_standard_normal(mu: jnp.ndarray, logvar_e: jnp.ndarray) -> jnp.ndarray:

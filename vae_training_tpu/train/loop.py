@@ -206,12 +206,35 @@ class Trainer:
         return jax.random.fold_in(self._eval_data_root, self._eval_counter)
 
     def sample_latent(self, key: jax.Array, batch_size: int) -> jax.Array:
-        """Prior draw (batch, latent_dim + data_dim): z1 ⊕ z2.
+        """Prior draw. Gaussian: (batch, latent_dim + data_dim) = z1 ⊕ z2.
+        Logistic: (batch, latent_dim), resampled until finite.
 
-        Reference: /root/reference/model.py:225-236 (gaussian branch; the
-        logistic branch existed only for the reference's dead flow models).
+        Reference: /root/reference/model.py:225-236.
         """
-        return sample_z(key, batch_size, self.latent_dim, self.dataset.dimension)
+        dist = self.cfg.latent_distribution
+        if dist == "gaussian":
+            return sample_z(key, batch_size, self.latent_dim, self.dataset.dimension)
+        if dist == "logistic":
+            while True:
+                key, tmp = jax.random.split(key)
+                sample = jax.random.logistic(tmp, (batch_size, self.latent_dim))
+                if bool(jnp.isfinite(sample).all()):
+                    return sample
+        raise NotImplementedError(f"distribution {dist} is not implemented")
+
+    def latent_likelihood(self, latent_batch: jax.Array) -> jax.Array:
+        """Mean prior log-likelihood of a latent batch.
+
+        Reference: /root/reference/model.py:238-244.
+        """
+        from jax.scipy.stats import logistic, norm
+
+        dist = self.cfg.latent_distribution
+        if dist == "gaussian":
+            return jnp.mean(jnp.sum(norm.logpdf(latent_batch), axis=1), axis=0)
+        if dist == "logistic":
+            return jnp.mean(jnp.sum(logistic.logpdf(latent_batch), axis=1), axis=0)
+        raise NotImplementedError(f"distribution {dist} is not implemented")
 
     def sample_batch(
         self, key: jax.Array, batch_size: int, latents: Optional[jax.Array] = None
