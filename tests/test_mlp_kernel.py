@@ -1,0 +1,175 @@
+"""Fused MLP-VAE Pallas kernel: math equivalence against the XLA path
+(external-noise hook, interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vae_training_tpu.data import LinearGaussianDataset, SphereDataset
+from vae_training_tpu.kernels.linear_vae import _adam_state
+from vae_training_tpu.kernels.mlp_vae import (
+    LANE,
+    _layer_dims,
+    mlp_pallas_supported,
+    pack_mlp_state,
+    run_mlp_fused_chunk,
+    unpack_mlp_state,
+)
+from vae_training_tpu.models import build_vae
+from vae_training_tpu.train import TrainState
+
+BATCH = 32
+LATENT = 6
+HIDDEN = "24|24"
+
+
+def setup(tdv=True):
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    model = build_vae(
+        data_dim=dataset.dimension, latent_dim=LATENT,
+        encoder_layer_sizes=HIDDEN, decoder_layer_sizes=HIDDEN,
+        epsilon=-3.0, tunable_decoder_var=tdv,
+    )
+    tx = optax.adam(1e-3)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, dataset.dimension)), jnp.zeros((1, LATENT)),
+        jnp.zeros((1, dataset.dimension)),
+    )["params"]
+    state = TrainState.create(
+        params=params, tx=tx,
+        model_key=jax.random.PRNGKey(1), data_key=jax.random.PRNGKey(2),
+    )
+    return dataset, model, tx, state
+
+
+def sphere_noise(dataset, n_steps, seed=0):
+    rng = np.random.RandomState(seed)
+    D = dataset.dimension
+    g = rng.randn(n_steps, BATCH, dataset.dim).astype(np.float32)
+    on = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    xs = np.zeros((n_steps, BATCH, D), np.float32)
+    xs[:, :, : dataset.dim] = on
+    z1s = rng.randn(n_steps, BATCH, LATENT).astype(np.float32)
+    z2s = rng.randn(n_steps, BATCH, D).astype(np.float32)
+    return xs, z1s, z2s
+
+
+def pad_noise(x, z1, z2, n_steps):
+    def emb(a):
+        out = np.zeros((n_steps, LANE, LANE), np.float32)
+        out[:, : a.shape[1], : a.shape[2]] = a
+        return jnp.asarray(out)
+
+    return emb(x), emb(z1), emb(z2)
+
+
+def run_xla_steps(model, tx, state, xs, z1s, z2s):
+    from vae_training_tpu.ops import elbo_terms
+
+    def loss_fn(params, batch, z1, z2):
+        x_hat, mu, logvar_e, epsilon = model.apply(
+            {"params": params}, batch, z1, z2)
+        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss
+
+    params, opt_state = state.params, state.opt_state
+    losses = []
+    for i in range(xs.shape[0]):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xs[i], z1s[i], z2s[i])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return params, opt_state, np.array(losses)
+
+
+def assert_trees_close(a, b, rtol, atol):
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(b)}
+    for path, val in jax.tree_util.tree_leaves_with_path(a):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_b[key]),
+            rtol=rtol, atol=atol, err_msg=key,
+        )
+
+
+@pytest.mark.parametrize("tdv", [True, False])
+def test_mlp_kernel_matches_xla(tdv):
+    n_steps = 4
+    dataset, model, tx, state = setup(tdv=tdv)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+    xs, z1s, z2s = sphere_noise(dataset, n_steps)
+    xp, z1p, z2p = pad_noise(xs, z1s, z2s, n_steps)
+    packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+    new_packed, losses = run_mlp_fused_chunk(
+        n_steps=n_steps,
+        seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32),
+        packed=packed,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sphere", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=tdv, lr=1e-3,
+        external_noise=(xp, z1p, z2p), interpret=True,
+    )
+    kstate = unpack_mlp_state(state, new_packed, n_steps, enc_dims, dec_dims,
+                              tdv, LATENT)
+    xparams, xopt, xlosses = run_xla_steps(
+        model, tx, state, jnp.asarray(xs), jnp.asarray(z1s), jnp.asarray(z2s))
+
+    np.testing.assert_allclose(np.asarray(losses), xlosses, rtol=3e-4,
+                               atol=3e-4)
+    assert_trees_close(kstate.params, xparams, rtol=1e-3, atol=1e-5)
+    ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
+    assert int(ka.count) == int(xa.count) == n_steps
+    assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
+
+
+def test_mlp_padded_regions_stay_zero():
+    n_steps = 3
+    dataset, model, tx, state = setup(tdv=True)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+    xs, z1s, z2s = sphere_noise(dataset, n_steps, seed=3)
+    packed = pack_mlp_state(state, enc_dims, dec_dims, True)
+    new_packed, _ = run_mlp_fused_chunk(
+        n_steps=n_steps, seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32), packed=packed,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sphere", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=True, lr=1e-3,
+        external_noise=pad_noise(xs, z1s, z2s, n_steps), interpret=True,
+    )
+    all_dims = enc_dims + dec_dims
+    for li, (din, dout) in enumerate(all_dims):
+        w = np.asarray(new_packed[0][li])
+        assert np.all(w[din:, :] == 0) and np.all(w[:, dout:] == 0), li
+        b = np.asarray(new_packed[1][li])
+        assert np.all(b[0, dout:] == 0), li
+
+
+def test_mlp_supported_gating():
+    from types import SimpleNamespace
+
+    dataset, model, _, _ = setup()
+    cfg = SimpleNamespace(batch_size=100, mesh="")
+    ok, why = mlp_pallas_supported(model, dataset, cfg)
+    if jax.default_backend() != "tpu":
+        assert not ok and "TPU" in why
+    # pure-linear config routed to the linear kernel, not this one
+    lin = build_vae(data_dim=dataset.dimension, latent_dim=LATENT)
+    ok, why = mlp_pallas_supported(lin, dataset, cfg)
+    assert not ok
+    # too-wide hidden layers rejected
+    wide = build_vae(data_dim=dataset.dimension, latent_dim=LATENT,
+                     encoder_layer_sizes="600|600",
+                     decoder_layer_sizes="600|600")
+    ok, why = mlp_pallas_supported(wide, dataset, cfg)
+    assert not ok

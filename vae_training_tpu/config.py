@@ -64,6 +64,11 @@ class RunConfig:
     image_source: str = "synthetic"  # synthetic | <path.npz> | <folder>
     image_size: int = 28
     num_images: int = 4096
+    # Track (params, grads) at each eval and emit the correlation-ratio
+    # landscape diagnostic at the final save. The reference defines the
+    # diagnostic but never populates its inputs (vae.py:119,207); off by
+    # default for output parity.
+    track_correlation: bool = False
 
     # --- derived ----------------------------------------------------------
     @property
@@ -158,6 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'synthetic' or a path to an .npz / image folder.")
     p.add_argument("--image_size", dest="image_size", type=int, default=28)
     p.add_argument("--num_images", dest="num_images", type=int, default=4096)
+    p.add_argument("--track_correlation", dest="track_correlation",
+                   action="store_true",
+                   help="Record (params, grads) each eval and emit the "
+                        "correlation-ratio diagnostic at the final save.")
     return p
 
 

@@ -17,14 +17,21 @@ def maybe_make_pallas_step_fns(
     model, dataset, tx, cfg, require: bool = False
 ) -> Optional[StepFns]:
     try:
-        from .linear_vae import pallas_supported, make_pallas_step_fns
+        from .linear_vae import make_pallas_step_fns, pallas_supported
+        from .mlp_vae import make_mlp_pallas_step_fns, mlp_pallas_supported
     except ImportError as e:
         if require:
             raise RuntimeError(f"--kernels pallas requested but unavailable: {e}")
         return None
-    ok, why = pallas_supported(model, dataset, cfg)
-    if not ok:
-        if require:
-            raise RuntimeError(f"--kernels pallas requested but unsupported: {why}")
-        return None
-    return make_pallas_step_fns(model, dataset, tx, cfg)
+    ok, why_linear = pallas_supported(model, dataset, cfg)
+    if ok:
+        return make_pallas_step_fns(model, dataset, tx, cfg)
+    ok, why_mlp = mlp_pallas_supported(model, dataset, cfg)
+    if ok:
+        return make_mlp_pallas_step_fns(model, dataset, tx, cfg)
+    if require:
+        raise RuntimeError(
+            "--kernels pallas requested but unsupported: "
+            f"linear kernel: {why_linear}; mlp kernel: {why_mlp}"
+        )
+    return None

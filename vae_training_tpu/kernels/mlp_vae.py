@@ -1,0 +1,538 @@
+"""Pallas TPU kernel: fused multi-step MLP-VAE training (sphere sweep).
+
+Generalizes kernels/linear_vae.py to arbitrary ReLU MLP encoder/decoders
+(e.g. the sphere sweep's 200|200|200 stacks,
+/root/reference/sphere_vae_padding_expts.sh). Why it wins: on the XLA scan
+path every step re-reads all weights + Adam moments from HBM (~6 MB for the
+200³ config → HBM-bound at ~33 µs/step); here the whole parameter set and
+optimizer state stay resident in VMEM for the entire K-step chunk, so each
+step touches HBM only for its (1,1) loss-trace write.
+
+Per step, in-kernel: TPU PRNG → Box-Muller → manifold sample (sphere or
+linear-gaussian) → MLP encoder fwd → reparam → MLP decoder fwd → closed-form
+ELBO → hand-derived backward through every layer (ReLU masks from saved
+pre-activations) → bias-corrected Adam. Math matches
+/root/reference/networks.py:26-101; equivalence against the XLA/optax path
+is tested with the external-noise hook (tests/test_mlp_kernel.py).
+
+Padding: each dimension is rounded up to a multiple of 128 lanes. Padded
+parameter regions start at zero and stay zero (ReLU(0)=0 keeps padded
+columns dead through hidden layers; gradients vanish on padded rows/cols
+given masked noise and batch rows).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..train.state import TrainState
+from ..train.step import StepFns, make_step_fns
+from .linear_vae import (
+    ADAM_EPS,
+    B1,
+    B2,
+    LOG_2PI,
+    _adam,
+    _adam_state,
+    _col_mask,
+    _normal_block,
+    _pack_mat,
+    _row_mask,
+)
+
+LANE = 128
+
+
+def pad_dim(d: int) -> int:
+    return max(LANE, ((d + LANE - 1) // LANE) * LANE)
+
+
+def _layer_dims(features: Sequence[int], in_dim: int) -> List[Tuple[int, int]]:
+    dims, prev = [], in_dim
+    for f in features:
+        dims.append((prev, f))
+        prev = f
+    return dims
+
+
+def _make_kernel(
+    *,
+    n_steps: int,
+    batch: int,
+    data_dim: int,
+    latent_dim: int,
+    enc_dims: List[Tuple[int, int]],
+    dec_dims: List[Tuple[int, int]],
+    dataset_kind: str,  # "sphere" | "linear"
+    intrinsic_dim: int,
+    var_added: float,
+    eps_const: float,
+    tdv: bool,
+    lr: float,
+    external_noise: bool,
+):
+    n_enc, n_dec = len(enc_dims), len(dec_dims)
+    n_w = n_enc + n_dec
+    inv_b = 1.0 / batch
+    bpad = pad_dim(batch)
+
+    def kernel(seed_ref, *refs):
+        # ref layout: a_t, Ws(n_w), bs(n_w), vec, mWs, mbs, mvec, vWs, vbs,
+        # vvec, [xn, z1n, z2n], then the same param/moment set as outputs,
+        # then loss_ref.
+        idx = 0
+        a_t = refs[idx]; idx += 1
+        w_refs = refs[idx: idx + n_w]; idx += n_w
+        b_refs = refs[idx: idx + n_w]; idx += n_w
+        vec_ref = refs[idx]; idx += 1
+        mw_refs = refs[idx: idx + n_w]; idx += n_w
+        mb_refs = refs[idx: idx + n_w]; idx += n_w
+        mvec_ref = refs[idx]; idx += 1
+        vw_refs = refs[idx: idx + n_w]; idx += n_w
+        vb_refs = refs[idx: idx + n_w]; idx += n_w
+        vvec_ref = refs[idx]; idx += 1
+        if external_noise:
+            xn_ref, z1n_ref, z2n_ref = refs[idx: idx + 3]; idx += 3
+        else:
+            pltpu.prng_seed(seed_ref[0])
+        out_w = refs[idx: idx + n_w]; idx += n_w
+        out_b = refs[idx: idx + n_w]; idx += n_w
+        out_vec = refs[idx]; idx += 1
+        out_mw = refs[idx: idx + n_w]; idx += n_w
+        out_mb = refs[idx: idx + n_w]; idx += n_w
+        out_mvec = refs[idx]; idx += 1
+        out_vw = refs[idx: idx + n_w]; idx += n_w
+        out_vb = refs[idx: idx + n_w]; idx += n_w
+        out_vvec = refs[idx]; idx += 1
+        loss_ref = refs[idx]
+
+        t0 = seed_ref[1].astype(jnp.float32)
+        lat_m = _col_mask(latent_dim)
+        dat_m = _col_mask(data_dim)
+        int_m = _col_mask(intrinsic_dim)
+        row_m = _row_mask(batch)
+
+        def dotf(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def dot_t1(a, b):  # aᵀ·b (contract batch/rows)
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def dot_t2(a, b):  # a·bᵀ (contract last dims)
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mlp_fwd(x, ws, bs, dims):
+            """Returns (output, saved pre-activation relu masks, saved
+            activations). ReLU between layers, none after the last."""
+            acts = [x]
+            relu_masks = []
+            h = x
+            for li in range(len(ws)):
+                z = dotf(h, ws[li]) + bs[li]
+                if li + 1 < len(ws):
+                    h = jnp.maximum(z, 0.0)
+                    relu_masks.append((z > 0.0).astype(jnp.float32))
+                    acts.append(h)
+                else:
+                    h = z
+            return h, relu_masks, acts
+
+        def mlp_bwd(g_out, ws, relu_masks, acts):
+            """Backward through the stack; returns (gWs, gbs, g_input)."""
+            g_ws = [None] * len(ws)
+            g_bs = [None] * len(ws)
+            g = g_out
+            for li in range(len(ws) - 1, -1, -1):
+                g_ws[li] = dot_t1(acts[li], g)
+                g_bs[li] = jnp.sum(g, axis=0, keepdims=True)
+                if li > 0:
+                    g = dot_t2(g, ws[li]) * relu_masks[li - 1]
+            g_in = dot_t2(g_out if len(ws) == 1 else g, ws[0])
+            return g_ws, g_bs, g_in
+
+        def body(i, carry):
+            (ws, bs, vec, mws, mbs, mvec, vws, vbs, vvec) = carry
+            t = t0 + i.astype(jnp.float32) + 1.0
+
+            if external_noise:
+                x = xn_ref[i]
+                z1 = z1n_ref[i]
+                z2 = z2n_ref[i]
+            else:
+                if dataset_kind == "sphere":
+                    g = _normal_block()[:, :LANE] * int_m
+                    norm2 = jnp.sum(g * g, axis=1, keepdims=True)
+                    x = g * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
+                    x = x * int_m  # live cols only (dim == intrinsic here)
+                else:
+                    n_int = _normal_block()[:, :LANE] * int_m
+                    x = dotf(n_int, a_t)
+                    if var_added > 0.0:
+                        x = (x + _normal_block()[:, :LANE] * dat_m
+                             * math.sqrt(var_added))
+                x = x * row_m
+                z1 = _normal_block()[:, :LANE] * lat_m * row_m
+                z2 = _normal_block()[:, :LANE] * dat_m * row_m
+
+            be_w = [w for w in ws[:n_enc]]
+            be_b = [b for b in bs[:n_enc]]
+            de_w = [w for w in ws[n_enc:]]
+            de_b = [b for b in bs[n_enc:]]
+
+            ep = vec[2:3, :] * lat_m
+            if tdv:
+                eps = vec[3, 0] * eps_const
+            else:
+                eps = jnp.float32(eps_const)
+
+            # --- forward --------------------------------------------------
+            mu_raw, enc_masks, enc_acts = mlp_fwd(x, be_w, be_b, enc_dims)
+            mu = mu_raw * row_m * lat_m
+            sdev = jnp.exp(ep * 0.5) * lat_m
+            s = mu + sdev * z1
+            y_raw, dec_masks, dec_acts = mlp_fwd(s, de_w, de_b, dec_dims)
+            y = (y_raw * dat_m + z2 * jnp.exp(eps * 0.5)) * row_m
+            r = y - x
+            inv_var = jnp.exp(-eps)
+
+            # --- loss -----------------------------------------------------
+            kl_const = jnp.sum(-0.5 * (1.0 + ep - jnp.exp(ep)) * lat_m)
+            sum_mu2 = jnp.sum(mu * mu)
+            sum_r2 = jnp.sum(r * r)
+            loss = (kl_const + 0.5 * inv_b * sum_mu2
+                    + 0.5 * inv_var * inv_b * sum_r2
+                    + 0.5 * data_dim * (LOG_2PI + eps))
+            loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
+
+            # --- backward ---------------------------------------------------
+            g_y = r * (inv_var * inv_b)
+            g_dec_out = g_y * dat_m
+            g_de_w, g_de_b, g_s = mlp_bwd(g_dec_out, de_w, dec_masks, dec_acts)
+            g_mu = (g_s + mu * inv_b) * lat_m
+            g_en_w, g_en_b, _ = mlp_bwd(g_mu, be_w, enc_masks, enc_acts)
+            g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
+                    + 0.5 * (jnp.exp(ep) - 1.0) * lat_m)
+            if tdv:
+                g_eps = (-0.5 * inv_var * inv_b * sum_r2 + 0.5 * data_dim
+                         + jnp.sum(g_y * z2) * 0.5 * jnp.exp(eps * 0.5))
+                col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) == 0)
+                g_eps_row = jnp.where(col0, g_eps * eps_const, 0.0)
+            else:
+                g_eps_row = jnp.zeros((1, LANE), jnp.float32)
+            g_vec = jnp.concatenate(
+                [jnp.zeros((2, LANE), jnp.float32), g_ep, g_eps_row,
+                 jnp.zeros((4, LANE), jnp.float32)], axis=0)
+
+            # --- Adam -------------------------------------------------------
+            g_all_w = g_en_w + g_de_w
+            g_all_b = g_en_b + g_de_b
+            new_ws, new_mws, new_vws = [], [], []
+            new_bs, new_mbs, new_vbs = [], [], []
+            for li in range(n_w):
+                p_, m_, v_ = _adam(ws[li], mws[li], vws[li], g_all_w[li], t, lr)
+                new_ws.append(p_); new_mws.append(m_); new_vws.append(v_)
+                p_, m_, v_ = _adam(bs[li], mbs[li], vbs[li], g_all_b[li], t, lr)
+                new_bs.append(p_); new_mbs.append(m_); new_vbs.append(v_)
+            vec, mvec, vvec = _adam(vec, mvec, vvec, g_vec, t, lr)
+            return (tuple(new_ws), tuple(new_bs), vec,
+                    tuple(new_mws), tuple(new_mbs), mvec,
+                    tuple(new_vws), tuple(new_vbs), vvec)
+
+        init = (
+            tuple(r[:] for r in w_refs), tuple(r[:] for r in b_refs),
+            vec_ref[:],
+            tuple(r[:] for r in mw_refs), tuple(r[:] for r in mb_refs),
+            mvec_ref[:],
+            tuple(r[:] for r in vw_refs), tuple(r[:] for r in vb_refs),
+            vvec_ref[:],
+        )
+        out = jax.lax.fori_loop(0, n_steps, body, init)
+        for dst, val in zip(out_w, out[0]):
+            dst[:] = val
+        for dst, val in zip(out_b, out[1]):
+            dst[:] = val
+        out_vec[:] = out[2]
+        for dst, val in zip(out_mw, out[3]):
+            dst[:] = val
+        for dst, val in zip(out_mb, out[4]):
+            dst[:] = val
+        out_mvec[:] = out[5]
+        for dst, val in zip(out_vw, out[6]):
+            dst[:] = val
+        for dst, val in zip(out_vb, out[7]):
+            dst[:] = val
+        out_vvec[:] = out[8]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Packing + invocation
+# ---------------------------------------------------------------------------
+
+
+def _padded_layer_shapes(enc_dims, dec_dims):
+    shapes = []
+    for din, dout in list(enc_dims) + list(dec_dims):
+        shapes.append((pad_dim(din), pad_dim(dout)))
+    return shapes
+
+
+def _collect_layers(tree, n_enc, n_dec):
+    """Ordered (kernel, bias) lists: Encoder FC0..n then Decoder FC0..n."""
+    ks, bs = [], []
+    for group, count in (("Encoder", n_enc), ("Decoder", n_dec)):
+        for i in range(count):
+            ks.append(tree[group][f"FC{i}"]["kernel"])
+            bs.append(tree[group][f"FC{i}"]["bias"])
+    return ks, bs
+
+
+def pack_mlp_state(state: TrainState, enc_dims, dec_dims, tdv: bool):
+    n_enc, n_dec = len(enc_dims), len(dec_dims)
+    shapes = _padded_layer_shapes(enc_dims, dec_dims)
+    adam = _adam_state(state.opt_state)
+
+    def pack_tree(tree):
+        ks, bs = _collect_layers(tree, n_enc, n_dec)
+        ws = [_pack_mat(shapes[i], ks[i]) for i in range(len(ks))]
+        bbs = []
+        for i, b in enumerate(bs):
+            buf = jnp.zeros((1, shapes[i][1]), jnp.float32)
+            bbs.append(buf.at[0, : b.shape[0]].set(b))
+        vec = jnp.zeros((8, LANE), jnp.float32)
+        vec = vec.at[2, : tree["epsilon_p"].shape[0]].set(tree["epsilon_p"])
+        if tdv:
+            vec = vec.at[3, 0].set(tree["epsilon"][0])
+        return ws, bbs, vec
+
+    pw, pb, pvec = pack_tree(state.params)
+    mw, mb, mvec = pack_tree(adam.mu)
+    vw, vb, vvec = pack_tree(adam.nu)
+    return (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec)
+
+
+def unpack_mlp_state(state: TrainState, packed, n_steps, enc_dims, dec_dims,
+                     tdv: bool, latent_dim: int) -> TrainState:
+    n_enc, n_dec = len(enc_dims), len(dec_dims)
+    all_dims = list(enc_dims) + list(dec_dims)
+    adam = _adam_state(state.opt_state)
+    (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
+
+    def unpack_tree(ws, bs, vec, template):
+        out = dict(template)
+        li = 0
+        for group, count in (("Encoder", n_enc), ("Decoder", n_dec)):
+            layers = dict(out[group])
+            for i in range(count):
+                din, dout = all_dims[li]
+                layers[f"FC{i}"] = {
+                    "kernel": ws[li][:din, :dout],
+                    "bias": bs[li][0, :dout],
+                }
+                li += 1
+            out[group] = layers
+        out["epsilon_p"] = vec[2, :latent_dim]
+        if tdv:
+            out["epsilon"] = vec[3, 0:1]
+        return out
+
+    params = unpack_tree(pw, pb, pvec, state.params)
+    mu = unpack_tree(mw, mb, mvec, adam.mu)
+    nu = unpack_tree(vw, vb, vvec, adam.nu)
+    new_count = adam.count + n_steps
+
+    def rebuild(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=new_count, mu=mu, nu=nu)
+        return s
+
+    opt_state = jax.tree_util.tree_map(
+        rebuild, state.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+    return state.replace(params=params, opt_state=opt_state,
+                         step=state.step + n_steps)
+
+
+def run_mlp_fused_chunk(
+    *,
+    n_steps: int,
+    seed_and_t0: jax.Array,
+    a_t: jax.Array,
+    packed,
+    batch: int,
+    data_dim: int,
+    latent_dim: int,
+    enc_dims,
+    dec_dims,
+    dataset_kind: str,
+    intrinsic_dim: int,
+    var_added: float,
+    eps_const: float,
+    tdv: bool,
+    lr: float,
+    external_noise=None,
+    interpret: bool = False,
+):
+    kernel = _make_kernel(
+        n_steps=n_steps, batch=batch, data_dim=data_dim,
+        latent_dim=latent_dim, enc_dims=list(enc_dims), dec_dims=list(dec_dims),
+        dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
+        var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
+        external_noise=external_noise is not None,
+    )
+    (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
+    state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in state_arrays]
+    out_shapes = tuple(state_shapes) + (
+        jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+    )
+    inputs = [a_t, *state_arrays]
+    if external_noise is not None:
+        inputs += list(external_noise)
+    n_state = len(state_arrays)
+    # flattened input indices: 0 seed, 1 a_t, 2.. state buffers
+    aliases = {j + 2: j for j in range(n_state)}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)),
+    )
+    flops = sum(2 * pad_dim(i) * pad_dim(o) * pad_dim(batch) * 3
+                for i, o in list(enc_dims) + list(dec_dims))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * n_steps,
+            bytes_accessed=sum(a.size for a in state_arrays) * 4 + n_steps * 4,
+            transcendentals=10 * LANE * LANE * n_steps,
+        ),
+    )(seed_and_t0, *inputs)
+    new_state_arrays, losses = out[:n_state], out[n_state][:, 0]
+    n_w = len(pw)
+    new_packed = (
+        list(new_state_arrays[0: n_w]),
+        list(new_state_arrays[n_w: 2 * n_w]),
+        new_state_arrays[2 * n_w],
+        list(new_state_arrays[2 * n_w + 1: 3 * n_w + 1]),
+        list(new_state_arrays[3 * n_w + 1: 4 * n_w + 1]),
+        new_state_arrays[4 * n_w + 1],
+        list(new_state_arrays[4 * n_w + 2: 5 * n_w + 2]),
+        list(new_state_arrays[5 * n_w + 2: 6 * n_w + 2]),
+        new_state_arrays[6 * n_w + 2],
+    )
+    return new_packed, losses
+
+
+# ---------------------------------------------------------------------------
+# StepFns integration
+# ---------------------------------------------------------------------------
+
+
+def mlp_pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
+    from ..data.synthetic import LinearGaussianDataset, SphereDataset
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False, f"backend {jax.default_backend()!r} is not a TPU"
+    if isinstance(dataset, SphereDataset):
+        if dataset.padding_dim + dataset.dim > LANE:
+            return False, "ambient dim too large"
+    elif isinstance(dataset, LinearGaussianDataset):
+        if dataset.dimension > LANE or dataset.intrinsic_dim > LANE:
+            return False, "dims too large"
+    else:
+        return False, "MLP kernel supports sphere and linear_gaussian"
+    if model.dual_sigmoid_decoder:
+        return False, "dual decoder not supported by the MLP kernel"
+    if len(model.encoder_features) < 2:
+        return False, "pure-linear configs use the linear kernel"
+    if cfg.batch_size > LANE:
+        return False, f"batch_size must be <= {LANE}"
+    if model.latent_dim > LANE or dataset.dimension > LANE:
+        return False, "latent/data dims too large"
+    if any(pad_dim(f) > 512 for f in model.encoder_features
+           + model.decoder_features):
+        return False, "hidden layers too wide for VMEM residency"
+    if cfg.mesh:
+        return False, "mesh training uses the XLA path"
+    return True, "ok"
+
+
+def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
+    from ..data.synthetic import SphereDataset
+
+    data_dim = dataset.dimension
+    latent_dim = model.latent_dim
+    tdv = model.tunable_decoder_var
+    enc_dims = _layer_dims(model.encoder_features, data_dim)
+    dec_dims = _layer_dims(model.decoder_features, latent_dim)
+    if isinstance(dataset, SphereDataset):
+        dataset_kind = "sphere"
+        intrinsic_dim = dataset.dim
+        var_added = 0.0
+        a_t = jnp.zeros((LANE, LANE), jnp.float32)
+    else:
+        dataset_kind = "linear"
+        intrinsic_dim = dataset.intrinsic_dim
+        var_added = dataset.var_added
+        a_t = _pack_mat((LANE, LANE), dataset.A.T)
+
+    base = make_step_fns(model, dataset, tx, cfg.batch_size)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def train_chunk(state: TrainState, n_steps: int):
+        k1 = jax.random.fold_in(state.data_key, state.step)
+        k2 = jax.random.fold_in(state.model_key, state.step)
+        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+        new_packed, losses = run_mlp_fused_chunk(
+            n_steps=n_steps,
+            seed_and_t0=jnp.stack([seed, t0]),
+            a_t=a_t,
+            packed=packed,
+            batch=cfg.batch_size,
+            data_dim=data_dim,
+            latent_dim=latent_dim,
+            enc_dims=enc_dims,
+            dec_dims=dec_dims,
+            dataset_kind=dataset_kind,
+            intrinsic_dim=intrinsic_dim,
+            var_added=var_added,
+            eps_const=model.epsilon,
+            tdv=tdv,
+            lr=cfg.learning_rate,
+        )
+        new_state = unpack_mlp_state(
+            state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim
+        )
+        return new_state, losses
+
+    return StepFns(
+        train_chunk=train_chunk,
+        eval_loss=base.eval_loss,
+        generate=base.generate,
+        score=base.score,
+        loss_and_grads=base.loss_and_grads,
+        place_state=None,
+    )

@@ -21,6 +21,7 @@ host work.
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -52,7 +53,7 @@ class Trainer:
         cfg: RunConfig,
         dataset: DistributionDataset,
         output_dir: str,
-        track_correlation: bool = False,
+        track_correlation: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -60,6 +61,8 @@ class Trainer:
         self.n_plot = N_PLOT
         self.n_print = N_PRINT
         self.eval_batch_size = EVAL_BATCH_SIZE
+        if track_correlation is None:
+            track_correlation = getattr(cfg, "track_correlation", False)
         self.track_correlation = track_correlation
 
         data_dim = dataset.dimension
@@ -373,10 +376,19 @@ class Trainer:
 
         profiled = False
         b = self.batchnum
+        last_rate_steps, last_rate_time = b, time.perf_counter()
         while b < total:
             self.batchnum = b
             if b % self.n_print == 0:
-                self.write_stats(self.compute_stats())
+                stats = self.compute_stats()
+                now = time.perf_counter()
+                if b > last_rate_steps and now > last_rate_time:
+                    # wall-clock training rate since the previous stat event
+                    stats["steps/sec"] = (b - last_rate_steps) / (
+                        now - last_rate_time
+                    )
+                last_rate_steps, last_rate_time = b, now
+                self.write_stats(stats)
             if b % self.n_plot == 0 or b == total - 1:
                 self.plot_epoch()
                 self.save()
