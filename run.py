@@ -38,7 +38,24 @@ def main(cfg: RunConfig) -> int:
 
 
 if __name__ == "__main__":
+    import os
+
     import jax
+
+    # Persistent compilation cache: sweep scripts run dozens of processes
+    # with identical programs; caching cuts per-run compile time (which is
+    # also highly variable on remote-compile TPU runtimes) to ~0 after the
+    # first run.
+    cache_dir = os.environ.get(
+        "VAE_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vae_tpu_xla"),
+    )
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     cfg = parse_arguments()
     if cfg.debug_nans:

@@ -551,5 +551,6 @@ def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         generate=base.generate,
         score=base.score,
         loss_and_grads=base.loss_and_grads,
+        eval_step=base.eval_step,
         place_state=None,
     )

@@ -157,5 +157,6 @@ def make_gspmd_step_fns(
         generate=base.generate,
         score=base.score,
         loss_and_grads=base.loss_and_grads,
+        eval_step=base.eval_step,
         place_state=place,
     )

@@ -258,11 +258,35 @@ class Trainer:
     def compute_stats(self) -> dict:
         """Eval pass: model ELBO components on real data + analytic manifold
         scores on generated data. Reference: /root/reference/model.py:153-168
-        + /root/reference/vae.py:132-141."""
+        + /root/reference/vae.py:132-141.
+
+        The whole eval (real-batch sample, generation, ELBO decomposition,
+        analytic scoring) runs as ONE compiled program (fns.eval_step) with a
+        single host transfer — the reference dispatches ~6 device programs
+        and syncs after each.
+        """
         key = self.get_key()
-        real_batch = self.dataset.sample(
-            self._next_eval_data_key(), self.eval_batch_size
-        )
+        eval_data_key = self._next_eval_data_key()
+        if self.fns.eval_step is not None and not self.track_correlation:
+            eps_scalar = jnp.float32(
+                np.asarray(self.current_epsilon).reshape(-1)[0]
+            )
+            out = jax.device_get(
+                self.fns.eval_step(
+                    self.state.params, eval_data_key, key, eps_scalar,
+                    n=self.eval_batch_size,
+                )
+            )
+            logvar_e = out.pop("_logvar_e")
+            epsilon = out.pop("_epsilon")
+            self.recorder.append_eval(out["VAE Loss"], logvar_e, epsilon)
+            self.current_epsilon = epsilon
+            # jit returns dicts with sorted keys; restore the reference's
+            # console ordering (model stats first, then dataset scores).
+            stats = {k: out.pop(k) for k in ("VAE Loss", "KL divergence", "mse")}
+            stats.update(out)
+            return stats
+        real_batch = self.dataset.sample(eval_data_key, self.eval_batch_size)
         fake_batch, latents = self.sample_batch(key, self.eval_batch_size)
         z1, z2 = split_z(latents, self.latent_dim)
         loss, dkl, mse, logvar_e, epsilon = self.fns.eval_loss(

@@ -41,6 +41,11 @@ class StepFns(NamedTuple):
     # Optional hook: place the initial TrainState onto a device mesh
     # (replicate or shard) before training. None ⇒ single-device.
     place_state: Optional[Callable] = None
+    # Fused eval: (params, data_key, z_key, epsilon_scalar) -> stats dict.
+    # One device program for real-batch sampling + generation + ELBO
+    # decomposition + analytic scoring (the reference runs ~6 separate
+    # dispatches per eval: /root/reference/model.py:153-168).
+    eval_step: Optional[Callable] = None
 
 
 def sample_z(key: jax.Array, n: int, latent_dim: int, data_dim: int) -> jax.Array:
@@ -122,12 +127,36 @@ def make_step_fns(
         (loss, _), grads = grad_fn(params, batch, z1, z2)
         return loss, grads
 
+    @partial(jax.jit, static_argnames=("n",))
+    def eval_step(params, data_key, z_key, epsilon, n: int = 1000):
+        """Whole eval pass in one compiled program."""
+        real = dataset.sample(data_key, n)
+        z = sample_z(z_key, n, latent_dim, data_dim)
+        z1, z2 = split_z(z, latent_dim)
+        fake = model.apply(
+            {"params": params}, z1, z2, epsilon, method=type(model).generate
+        )
+        x_hat, mu, logvar_e, eps_out = model.apply(
+            {"params": params}, real, z1, z2
+        )
+        loss, dkl, mse = elbo_terms(real, x_hat, mu, logvar_e, eps_out)
+        out = {
+            "VAE Loss": loss,
+            "KL divergence": dkl,
+            "mse": mse,
+            "_logvar_e": logvar_e,
+            "_epsilon": eps_out,
+        }
+        out.update(dataset.score(fake))
+        return out
+
     return StepFns(
         train_chunk=train_chunk,
         eval_loss=eval_loss,
         generate=generate,
         score=score,
         loss_and_grads=loss_and_grads,
+        eval_step=eval_step,
     )
 
 
