@@ -22,6 +22,9 @@ from vae_training_tpu.train import Trainer
 
 
 def main(cfg: RunConfig) -> int:
+    from vae_training_tpu.runio import enable_compile_cache
+
+    enable_compile_cache()
     cfg.validate()
     if cfg.seed_grid:
         from vae_training_tpu.train.grid import run_seed_grid
@@ -38,24 +41,7 @@ def main(cfg: RunConfig) -> int:
 
 
 if __name__ == "__main__":
-    import os
-
     import jax
-
-    # Persistent compilation cache: sweep scripts run dozens of processes
-    # with identical programs; caching cuts per-run compile time (which is
-    # also highly variable on remote-compile TPU runtimes) to ~0 after the
-    # first run.
-    cache_dir = os.environ.get(
-        "VAE_TPU_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "vae_tpu_xla"),
-    )
-    if cache_dir:
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
 
     cfg = parse_arguments()
     if cfg.debug_nans:

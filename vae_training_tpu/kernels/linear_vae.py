@@ -29,7 +29,7 @@ reconstruction residual is zero by construction.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -493,6 +493,47 @@ def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
     return True, "ok"
 
 
+@lru_cache(maxsize=64)
+def _shared_chunk_fn(batch, data_dim, latent_dim, intrinsic_dim, var_added,
+                     eps_const, tdv, lr, dataset_kind, dual):
+    """One jitted chunk fn per STATIC config, shared across dataset seeds.
+
+    The manifold matrix ``a_t`` is a runtime argument, so a whole multi-seed
+    sweep (same shapes, different manifolds) reuses a single compiled
+    kernel — 21 sweep runs pay one compile."""
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def train_chunk(a_t, state: TrainState, n_steps: int):
+        k1 = jax.random.fold_in(state.data_key, state.step)
+        k2 = jax.random.fold_in(state.model_key, state.step)
+        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+        seed_and_t0 = jnp.stack([seed, t0])
+        buffers = pack_state(state, data_dim, latent_dim, tdv, dual=dual)
+        new_buffers, losses = run_fused_chunk(
+            n_steps=n_steps,
+            seed_and_t0=seed_and_t0,
+            a_t=a_t,
+            buffers=buffers,
+            batch=batch,
+            data_dim=data_dim,
+            latent_dim=latent_dim,
+            intrinsic_dim=intrinsic_dim,
+            var_added=var_added,
+            eps_const=eps_const,
+            tdv=tdv,
+            lr=lr,
+            dataset_kind=dataset_kind,
+            dual=dual,
+        )
+        new_state = unpack_state(
+            state, new_buffers, n_steps, data_dim, latent_dim, tdv, dual=dual
+        )
+        return new_state, losses
+
+    return train_chunk
+
+
 def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
     from ..data.synthetic import SigmoidDataset
 
@@ -515,35 +556,14 @@ def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         a_t = _pack_mat((N, N), dataset.A.T)
 
     base = make_step_fns(model, dataset, tx, cfg.batch_size)
+    shared = _shared_chunk_fn(
+        cfg.batch_size, data_dim, latent_dim, intrinsic_dim, float(var_added),
+        float(model.epsilon), tdv, float(cfg.learning_rate), dataset_kind,
+        dual,
+    )
 
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
     def train_chunk(state: TrainState, n_steps: int):
-        k1 = jax.random.fold_in(state.data_key, state.step)
-        k2 = jax.random.fold_in(state.model_key, state.step)
-        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
-        seed_and_t0 = jnp.stack([seed, t0])
-        buffers = pack_state(state, data_dim, latent_dim, tdv, dual=dual)
-        new_buffers, losses = run_fused_chunk(
-            n_steps=n_steps,
-            seed_and_t0=seed_and_t0,
-            a_t=a_t,
-            buffers=buffers,
-            batch=cfg.batch_size,
-            data_dim=data_dim,
-            latent_dim=latent_dim,
-            intrinsic_dim=intrinsic_dim,
-            var_added=var_added,
-            eps_const=model.epsilon,
-            tdv=tdv,
-            lr=cfg.learning_rate,
-            dataset_kind=dataset_kind,
-            dual=dual,
-        )
-        new_state = unpack_state(
-            state, new_buffers, n_steps, data_dim, latent_dim, tdv, dual=dual
-        )
-        return new_state, losses
+        return shared(a_t, state, n_steps)
 
     return StepFns(
         train_chunk=train_chunk,

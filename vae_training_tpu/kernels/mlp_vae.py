@@ -24,7 +24,7 @@ given masked noise and batch rows).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -478,6 +478,46 @@ def mlp_pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
     return True, "ok"
 
 
+@lru_cache(maxsize=64)
+def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
+                         dataset_kind, intrinsic_dim, var_added, eps_const,
+                         tdv, lr):
+    """One jitted chunk fn per static config, shared across dataset seeds
+    (the manifold matrix is a runtime argument)."""
+    enc_dims, dec_dims = list(enc_dims), list(dec_dims)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def train_chunk(a_t, state: TrainState, n_steps: int):
+        k1 = jax.random.fold_in(state.data_key, state.step)
+        k2 = jax.random.fold_in(state.model_key, state.step)
+        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+        new_packed, losses = run_mlp_fused_chunk(
+            n_steps=n_steps,
+            seed_and_t0=jnp.stack([seed, t0]),
+            a_t=a_t,
+            packed=packed,
+            batch=batch,
+            data_dim=data_dim,
+            latent_dim=latent_dim,
+            enc_dims=enc_dims,
+            dec_dims=dec_dims,
+            dataset_kind=dataset_kind,
+            intrinsic_dim=intrinsic_dim,
+            var_added=var_added,
+            eps_const=eps_const,
+            tdv=tdv,
+            lr=lr,
+        )
+        new_state = unpack_mlp_state(
+            state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim
+        )
+        return new_state, losses
+
+    return train_chunk
+
+
 def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
     from ..data.synthetic import SphereDataset
 
@@ -498,35 +538,15 @@ def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         a_t = _pack_mat((LANE, LANE), dataset.A.T)
 
     base = make_step_fns(model, dataset, tx, cfg.batch_size)
+    shared = _shared_mlp_chunk_fn(
+        cfg.batch_size, data_dim, latent_dim,
+        tuple(map(tuple, enc_dims)), tuple(map(tuple, dec_dims)),
+        dataset_kind, intrinsic_dim, float(var_added), float(model.epsilon),
+        tdv, float(cfg.learning_rate),
+    )
 
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
     def train_chunk(state: TrainState, n_steps: int):
-        k1 = jax.random.fold_in(state.data_key, state.step)
-        k2 = jax.random.fold_in(state.model_key, state.step)
-        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
-        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
-        new_packed, losses = run_mlp_fused_chunk(
-            n_steps=n_steps,
-            seed_and_t0=jnp.stack([seed, t0]),
-            a_t=a_t,
-            packed=packed,
-            batch=cfg.batch_size,
-            data_dim=data_dim,
-            latent_dim=latent_dim,
-            enc_dims=enc_dims,
-            dec_dims=dec_dims,
-            dataset_kind=dataset_kind,
-            intrinsic_dim=intrinsic_dim,
-            var_added=var_added,
-            eps_const=model.epsilon,
-            tdv=tdv,
-            lr=cfg.learning_rate,
-        )
-        new_state = unpack_mlp_state(
-            state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim
-        )
-        return new_state, losses
+        return shared(a_t, state, n_steps)
 
     return StepFns(
         train_chunk=train_chunk,
