@@ -74,15 +74,15 @@ def measure(trainer, chunk_steps: int = 20_000, reps: int = 3) -> float:
 
 
 def main() -> int:
+    from vae_training_tpu.runio import enable_compile_cache
+
+    enable_compile_cache()
     log(f"devices: {jax.devices()}")
     trainer = build("auto")
     backend = type(trainer.fns.train_chunk).__name__
     log(f"backend fns: {trainer.fns!r}")
     steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
-    final_loss = float(jax.device_get(trainer.recorder.loss_trace()[-1])) if (
-        trainer.recorder.vae_losses
-    ) else None
     print(
         json.dumps(
             {
