@@ -119,7 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "empty string = pure linear encoder.")
     p.add_argument("--latent_dim", dest="latent_dimension", type=int, default=100)
     p.add_argument("-nojit", dest="nojit", action="store_true",
-                   help="Disables just-in-time compilation for debugging")
+                   help="Disables just-in-time compilation for step-through "
+                        "debugging. Use with JAX_PLATFORMS=cpu — interpreted "
+                        "mode dispatches every op to the accelerator "
+                        "individually and is pathologically slow on remote "
+                        "TPU runtimes.")
     p.add_argument("--padding_type", dest="padding_type", default="none",
                    choices=["zero", "gaussian", "none"])
     p.add_argument("-ds", "--dataset_seed", dest="dataset_seed", type=int, default=69)

@@ -164,6 +164,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_step_fns(self):
+        if self.cfg.nojit and self.cfg.kernels == "pallas":
+            raise ValueError("-nojit disables compilation; drop --kernels pallas")
         if self.cfg.mesh:
             if self.cfg.kernels == "pallas":
                 raise ValueError(
@@ -179,7 +181,9 @@ class Trainer:
                 self.cfg.batch_size,
                 mesh_spec=self.cfg.mesh,
             )
-        if self.cfg.kernels in ("auto", "pallas"):
+        if self.cfg.kernels == "auto" and self.cfg.nojit:
+            pass  # interpreted debugging uses the plain XLA path
+        elif self.cfg.kernels in ("auto", "pallas"):
             from ..kernels.dispatch import maybe_make_pallas_step_fns
 
             fns = maybe_make_pallas_step_fns(
@@ -417,6 +421,10 @@ class Trainer:
                 self.plot_epoch()
                 self.save()
             n = self._next_event(b) - b
+            if self.cfg.nojit:
+                # interpreted mode unrolls scans in Python — keep chunks
+                # small so -nojit stays a usable step-through debugger
+                n = min(n, 20)
             if self.cfg.profile and not profiled and n > 1:
                 jax.profiler.start_trace(os.path.join(self.dirname, "profile"))
             self.state, losses = self.fns.train_chunk(self.state, n)
