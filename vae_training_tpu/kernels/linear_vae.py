@@ -66,6 +66,16 @@ def _normal_block():
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _normal_block_pair():
+    """TWO (N, N) normal blocks from ONE Box-Muller transform (cos & sin
+    partners share the radius), halving the PRNG + transcendental cost."""
+    u1 = _uniform((N, N))
+    u2 = _uniform((N, N))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = 2.0 * jnp.pi * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
 def _col_mask(width: int):
     c = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
     return (c < width).astype(jnp.float32)
@@ -153,7 +163,8 @@ def _make_kernel(
                 z1 = z1n_ref[i]
                 z2 = z2n_ref[i]
             else:
-                n_int = _normal_block() * int_m
+                n_raw, z1_raw = _normal_block_pair()
+                n_int = n_raw * int_m
                 if dataset_kind == "sigmoid":
                     logit = jnp.dot(n_int, a_t,
                                     preferred_element_type=jnp.float32)
@@ -164,7 +175,7 @@ def _make_kernel(
                     if var_added > 0.0:
                         x = x + _normal_block() * dat_m * math.sqrt(var_added)
                 x = x * row_m
-                z1 = _normal_block() * lat_m * row_m
+                z1 = z1_raw * lat_m * row_m
                 z2 = _normal_block() * dat_m * row_m
 
             be = vec[ROW_BE:ROW_BE + 1, :]

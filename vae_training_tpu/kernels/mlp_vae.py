@@ -44,6 +44,7 @@ from .linear_vae import (
     _adam_state,
     _col_mask,
     _normal_block,
+    _normal_block_pair,
     _pack_mat,
     _row_mask,
 )
@@ -171,20 +172,21 @@ def _make_kernel(
                 z1 = z1n_ref[i]
                 z2 = z2n_ref[i]
             else:
+                n_raw, z1_raw = _normal_block_pair()
                 if dataset_kind == "sphere":
-                    g = _normal_block()[:, :LANE] * int_m
+                    g = n_raw * int_m
                     norm2 = jnp.sum(g * g, axis=1, keepdims=True)
                     x = g * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
                     x = x * int_m  # live cols only (dim == intrinsic here)
                 else:
-                    n_int = _normal_block()[:, :LANE] * int_m
+                    n_int = n_raw * int_m
                     x = dotf(n_int, a_t)
                     if var_added > 0.0:
-                        x = (x + _normal_block()[:, :LANE] * dat_m
+                        x = (x + _normal_block() * dat_m
                              * math.sqrt(var_added))
                 x = x * row_m
-                z1 = _normal_block()[:, :LANE] * lat_m * row_m
-                z2 = _normal_block()[:, :LANE] * dat_m * row_m
+                z1 = z1_raw * lat_m * row_m
+                z2 = _normal_block() * dat_m * row_m
 
             be_w = [w for w in ws[:n_enc]]
             be_b = [b for b in bs[:n_enc]]
