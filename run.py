@@ -13,7 +13,18 @@ jax_debug_nans (the TPU-era analogue).
 
 from __future__ import annotations
 
+import os
 import sys
+
+# Honor JAX_PLATFORMS=cpu before any backend initialization (TPU shims in
+# sitecustomize otherwise override the env var).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 from vae_training_tpu.config import RunConfig, parse_arguments
 from vae_training_tpu.data import get_dataset

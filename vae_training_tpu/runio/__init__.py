@@ -27,6 +27,7 @@ from .checkpoint import (
     checkpoint_exists,
     restore_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
 )
 from .export import load_model_pkl, save_model_pkl, to_reference_state_dict
 from .outdir import get_output_dir, make_output_dir
@@ -36,6 +37,7 @@ __all__ = [
     "checkpoint_exists",
     "restore_checkpoint",
     "save_checkpoint",
+    "save_checkpoint_async",
     "load_model_pkl",
     "save_model_pkl",
     "to_reference_state_dict",

@@ -23,6 +23,19 @@ from flax import serialization
 CKPT_NAME = "ckpt.msgpack"
 META_NAME = "ckpt_meta.json"
 
+_async_executor = None
+
+
+def _executor():
+    global _async_executor
+    if _async_executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _async_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+    return _async_executor
+
 
 def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> str:
     payload = serialization.to_bytes(jax.device_get(state))
@@ -37,6 +50,15 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> s
     with open(os.path.join(dirname, META_NAME), "w") as f:
         json.dump(meta, f)
     return path
+
+
+def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None):
+    """Non-blocking checkpoint: snapshot to host now, serialize + write on a
+    background thread so training never stalls on disk I/O. Returns a
+    future; writes are serialized on one worker so checkpoints never
+    interleave."""
+    snapshot = jax.device_get(state)
+    return _executor().submit(save_checkpoint, dirname, snapshot, extra_meta)
 
 
 def restore_checkpoint(dirname: str, state_template):

@@ -34,7 +34,11 @@ from ..data.base import DistributionDataset
 from ..models.networks import build_vae
 from ..models.warm_start import apply_warm_start
 from ..evals.stats import StatsRecorder
-from ..runio.checkpoint import restore_checkpoint, save_checkpoint
+from ..runio.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_checkpoint_async,
+)
 from ..runio.export import load_model_pkl, save_model_pkl
 from ..utils.trees import correlation_ratio
 from .state import TrainState
@@ -437,7 +441,9 @@ class Trainer:
                 self.cfg.checkpoint_every
                 and (b + n) // self.cfg.checkpoint_every > b // self.cfg.checkpoint_every
             ):
-                save_checkpoint(self.dirname, self.state)
+                # async: snapshot now, write on a background thread — the
+                # preemption-resilience path must not stall training
+                save_checkpoint_async(self.dirname, self.state)
             b += n
             if progress is not None:
                 progress.update(n)
