@@ -37,6 +37,12 @@ def main(cfg: RunConfig) -> int:
 
     enable_compile_cache()
     cfg.validate()
+    if cfg.multihost:
+        import jax
+
+        # Coordinator/process env vars per the standard TPU pod setup; the
+        # mesh axes then span all hosts' devices.
+        jax.distributed.initialize()
     if cfg.seed_grid:
         from vae_training_tpu.train.grid import run_seed_grid
 

@@ -69,6 +69,10 @@ class RunConfig:
     # diagnostic but never populates its inputs (vae.py:119,207); off by
     # default for output parity.
     track_correlation: bool = False
+    # Multi-host bring-up: call jax.distributed.initialize() before building
+    # the mesh, so --mesh axes span hosts (collectives ride ICI within a
+    # slice, DCN across slices). No-op on a single host.
+    multihost: bool = False
 
     # --- derived ----------------------------------------------------------
     @property
@@ -171,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="Record (params, grads) each eval and emit the "
                         "correlation-ratio diagnostic at the final save.")
+    p.add_argument("--multihost", dest="multihost", action="store_true",
+                   help="Initialize jax.distributed before building the "
+                        "mesh (multi-host TPU slices; env-configured "
+                        "coordinator).")
     return p
 
 
