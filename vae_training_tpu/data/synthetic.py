@@ -13,7 +13,7 @@ reference's full-rank resampling loop is reproduced behaviorally).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

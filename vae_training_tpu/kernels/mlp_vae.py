@@ -36,9 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..train.state import TrainState
 from ..train.step import StepFns, make_step_fns
 from .linear_vae import (
-    ADAM_EPS,
-    B1,
-    B2,
     LOG_2PI,
     _adam,
     _adam_state,

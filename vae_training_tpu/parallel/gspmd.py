@@ -14,7 +14,6 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -13,7 +13,7 @@ remaining devices".
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import numpy as np

@@ -16,8 +16,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 CKPT_NAME = "ckpt.msgpack"
