@@ -73,6 +73,10 @@ class RunConfig:
     # the mesh, so --mesh axes span hosts (collectives ride ICI within a
     # slice, DCN across slices). No-op on a single host.
     multihost: bool = False
+    # Stat / plot cadences (reference hardcodes 5000/50000 —
+    # /root/reference/model.py:123-124; configurable here).
+    n_print: int = 5000
+    n_plot: int = 50000
 
     # --- derived ----------------------------------------------------------
     @property
@@ -179,6 +183,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Initialize jax.distributed before building the "
                         "mesh (multi-host TPU slices; env-configured "
                         "coordinator).")
+    p.add_argument("--n_print", dest="n_print", type=int, default=5000,
+                   help="Stat cadence in steps (reference: 5000).")
+    p.add_argument("--n_plot", dest="n_plot", type=int, default=50000,
+                   help="Plot/save cadence in steps (reference: 50000).")
     return p
 
 

@@ -62,8 +62,8 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.dirname = output_dir
-        self.n_plot = N_PLOT
-        self.n_print = N_PRINT
+        self.n_plot = getattr(cfg, "n_plot", N_PLOT) or N_PLOT
+        self.n_print = getattr(cfg, "n_print", N_PRINT) or N_PRINT
         self.eval_batch_size = EVAL_BATCH_SIZE
         if track_correlation is None:
             track_correlation = getattr(cfg, "track_correlation", False)
