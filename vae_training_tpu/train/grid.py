@@ -206,6 +206,27 @@ class GridTrainer:
             self.recorders[i].save_npz(out, final=final)
             save_model_pkl(os.path.join(out, "model.pkl"), params, opt_state)
 
+    def plot_all(self, outdirs):
+        """Per-seed diagnostic plots from vmapped ancestral sampling."""
+        self._host_key, gen_key = jax.random.split(self._host_key)
+        eps = jnp.asarray(
+            [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
+            jnp.float32)
+        model, latent_dim, data_dim = self.model, self.latent_dim, self.data_dim
+
+        def one(state, ep_i, idx):
+            z = sample_z(jax.random.fold_in(gen_key, idx),
+                         self.eval_batch_size, latent_dim, data_dim)
+            z1, z2 = split_z(z, latent_dim)
+            return model.apply({"params": state.params}, z1, z2, ep_i,
+                               method=type(model).generate)
+
+        fakes = jax.device_get(jax.jit(jax.vmap(one))(
+            self.state_grid, eps, jnp.arange(len(self.seeds))))
+        for i, out in enumerate(outdirs):
+            fn = os.path.join(out, f"output_{self.batchnum}.png")
+            self.datasets[i].plot_batch(fakes[i], fn=fn)
+
     def train(self, outdirs):
         total = self.cfg.num_batches
         b = 0
@@ -214,6 +235,7 @@ class GridTrainer:
             if b % self.n_print == 0:
                 self.compute_and_write_stats()
             if b % self.n_plot == 0 or b == total - 1:
+                self.plot_all(outdirs)
                 self.save_all(outdirs)
             n = self._next_event(b) - b
             self.state_grid, losses = self._train_chunk(
