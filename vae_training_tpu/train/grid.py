@@ -30,6 +30,7 @@ from ..evals.stats import StatsRecorder
 from ..models.networks import build_vae
 from ..models.warm_start import apply_warm_start
 from ..ops.elbo import elbo_terms
+from ..runio.checkpoint import save_checkpoint
 from ..runio.export import save_model_pkl
 from ..runio.outdir import make_output_dir
 from .loop import EVAL_BATCH_SIZE, N_PLOT, N_PRINT
@@ -54,6 +55,11 @@ class GridTrainer:
         self.datasets: List[DistributionDataset] = [
             get_dataset(cfg.dataset, s, cfg) for s in seeds
         ]
+        if any(d.is_epochs for d in self.datasets):
+            raise NotImplementedError(
+                "--seed_grid supports distribution datasets; epoch-mode "
+                "image corpora train one run at a time"
+            )
         data_dim = self.datasets[0].dimension
         self.data_dim = data_dim
         self.latent_dim = cfg.latent_dimension
@@ -201,10 +207,13 @@ class GridTrainer:
         states = jax.device_get(self.state_grid)
         for i, out in enumerate(outdirs):
             take = lambda x: x[i]
-            params = jax.tree_util.tree_map(take, states.params)
-            opt_state = jax.tree_util.tree_map(take, states.opt_state)
+            state_i = jax.tree_util.tree_map(take, states)
             self.recorders[i].save_npz(out, final=final)
-            save_model_pkl(os.path.join(out, "model.pkl"), params, opt_state)
+            save_model_pkl(os.path.join(out, "model.pkl"), state_i.params,
+                           state_i.opt_state)
+            # per-seed full checkpoint: any grid row can be resumed solo
+            # with --resume <name>_seed<N>
+            save_checkpoint(out, state_i)
 
     def plot_all(self, outdirs):
         """Per-seed diagnostic plots from vmapped ancestral sampling."""
