@@ -73,6 +73,26 @@ def measure(trainer, chunk_steps: int = 20_000, reps: int = 3) -> float:
     return (chunk_steps * reps) / dt
 
 
+def latency_mode(trainer, reps: int = 200):
+    """Per-step dispatch latency: single-step chunks with block_until_ready
+    (SURVEY §5's 'per-step timing mode'). Percentiles to stderr."""
+    state = trainer.state
+    state, l = trainer.fns.train_chunk(state, 1)
+    jax.block_until_ready(l)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, l = trainer.fns.train_chunk(state, 1)
+        jax.block_until_ready(l)
+        times.append(time.perf_counter() - t0)
+    trainer.state = state
+    import numpy as np
+
+    t = np.array(times) * 1e6
+    log(f"per-step dispatch latency (us): p50={np.percentile(t,50):.0f} "
+        f"p90={np.percentile(t,90):.0f} p99={np.percentile(t,99):.0f}")
+
+
 def main() -> int:
     from vae_training_tpu.runio import enable_compile_cache
 
@@ -87,6 +107,8 @@ def main() -> int:
         trainer = build("xla")
         steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
+    if "--latency" in sys.argv:
+        latency_mode(trainer)
     print(
         json.dumps(
             {

@@ -80,6 +80,63 @@ def sweep_configs(sweep: str, data_dir: str, num_batches: int | None,
         raise ValueError(f"unknown sweep {sweep!r}")
 
 
+def cfg_to_argv(cfg: RunConfig):
+    """Render a RunConfig back into a reference-style run.py invocation."""
+    argv = [
+        cfg.name, "--dataset", cfg.dataset,
+        "--encoder_layer_sizes", cfg.encoder_layer_sizes,
+        "--layer_sizes", cfg.layer_sizes,
+        "--latent_dim", str(cfg.latent_dimension),
+        "--padding_dim", str(cfg.padding_dim),
+        "-dd", str(cfg.dataset_dimension),
+        "--num_batches", str(cfg.num_batches),
+        "--batch_size", str(cfg.batch_size),
+        "--epsilon", str(cfg.epsilon),
+        "-ds", str(cfg.dataset_seed),
+        "-lr", str(cfg.learning_rate),
+        "--data_dir", cfg.data_dir,
+        "--kernels", cfg.kernels,
+        "--checkpoint_every", str(cfg.checkpoint_every),
+    ]
+    if cfg.tunable_decoder_var:
+        argv.append("-tdv")
+    if cfg.overwrite:
+        argv.append("-ow")
+    return argv
+
+
+def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
+    """Run one row as a supervised subprocess: on hang (timeout) or crash,
+    kill cleanly (SIGTERM — never SIGKILL a TPU client) and retry, resuming
+    from the row's checkpoint if one exists. This turns flaky-runtime hangs
+    into recovered failures instead of lost sweeps."""
+    import os
+    import signal
+    import subprocess
+
+    run_dir = os.path.join(cfg.data_dir, cfg.name)
+    for attempt in range(retries + 1):
+        argv = cfg_to_argv(cfg)
+        if attempt > 0 and os.path.exists(os.path.join(run_dir, "ckpt.msgpack")):
+            argv = [a for a in argv if a != "-ow"] + ["--resume", run_dir]
+        proc = subprocess.Popen([sys.executable, "run.py"] + argv)
+        try:
+            if proc.wait(timeout=timeout) == 0:
+                return True
+            print(f"[sweep] {cfg.name} attempt {attempt + 1} exited "
+                  f"{proc.returncode}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[sweep] {cfg.name} attempt {attempt + 1} timed out; "
+                  f"terminating", flush=True)
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+    return False
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sweep", choices=["linear", "sigmoid", "sphere"])
@@ -88,22 +145,42 @@ def main(argv=None) -> int:
                    help="Override the sweep's per-run step count.")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--isolate", action="store_true",
+                   help="Run each row as a supervised subprocess with "
+                        "timeout + retry + resume-from-checkpoint (turns "
+                        "runtime hangs into recovered failures).")
+    p.add_argument("--row_timeout", type=float, default=900.0,
+                   help="Per-attempt wall-clock limit with --isolate.")
+    p.add_argument("--retries", type=int, default=2)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="Off-cadence async checkpoints (useful with "
+                        "--isolate so retries resume mid-run).")
     args = p.parse_args(argv)
 
-    from run import main as run_one
-
     t0 = time.perf_counter()
-    count = 0
+    count, failed = 0, []
+    runner = None
+    if not args.isolate:
+        from run import main as run_one
+
+        runner = run_one
     for cfg in sweep_configs(args.sweep, args.data_dir, args.num_batches,
                              args.kernels):
+        cfg.checkpoint_every = args.checkpoint_every
         t1 = time.perf_counter()
-        run_one(cfg)
+        if args.isolate:
+            ok = run_isolated(cfg, args.row_timeout, args.retries)
+        else:
+            ok = runner(cfg) == 0
         count += 1
-        print(f"[sweep] {cfg.name} done in {time.perf_counter() - t1:.1f}s",
+        status = "done" if ok else "FAILED"
+        if not ok:
+            failed.append(cfg.name)
+        print(f"[sweep] {cfg.name} {status} in {time.perf_counter() - t1:.1f}s",
               flush=True)
-    print(f"[sweep] {count} runs in {time.perf_counter() - t0:.1f}s",
-          flush=True)
-    return 0
+    print(f"[sweep] {count} runs in {time.perf_counter() - t0:.1f}s"
+          + (f"; FAILED: {failed}" if failed else ""), flush=True)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

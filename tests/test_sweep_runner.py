@@ -1,0 +1,62 @@
+"""sweep.py: grid definitions, argv rendering, and the isolated runner."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import sweep as sweep_mod
+from vae_training_tpu.config import parse_arguments
+
+
+def test_grids_match_reference_row_counts():
+    cfgs = list(sweep_mod.sweep_configs("linear", "d", None, "auto"))
+    assert len(cfgs) == 21  # 3 seeds × 7 rows (seed_linpadding_expts.sh)
+    assert cfgs[0].name == "vae3linear_gaussian_12dim2"
+    assert cfgs[0].learning_rate == 1e-3 and cfgs[0].num_batches == 100000
+    cfgs = list(sweep_mod.sweep_configs("sigmoid", "d", None, "auto"))
+    assert len(cfgs) == 18
+    assert cfgs[0].name == "sigmoid_dd3_pd3_ld_6_eps-3"
+    assert cfgs[-1].name == "sigmoid_dd7_pd20_ld_24_eps-3_seed48"
+    cfgs = list(sweep_mod.sweep_configs("sphere", "d", None, "auto"))
+    assert len(cfgs) == 15
+    assert cfgs[0].encoder_layer_sizes == "200|200|200"
+
+
+def test_cfg_to_argv_roundtrips_through_parser():
+    cfg = next(sweep_mod.sweep_configs("linear", "dd", 123, "xla"))
+    argv = sweep_mod.cfg_to_argv(cfg)
+    parsed = parse_arguments(argv)
+    for field in ("name", "dataset", "encoder_layer_sizes", "layer_sizes",
+                  "latent_dimension", "padding_dim", "dataset_dimension",
+                  "num_batches", "batch_size", "epsilon", "dataset_seed",
+                  "learning_rate", "data_dir", "kernels",
+                  "tunable_decoder_var", "overwrite"):
+        assert getattr(parsed, field) == getattr(cfg, field), field
+
+
+@pytest.mark.slow
+def test_isolated_runner_success_and_failure(tmp_path, monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("XLA_FLAGS", raising=False)
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from vae_training_tpu.config import RunConfig
+
+    cfg = RunConfig(
+        name="iso", dataset="linear_gaussian", encoder_layer_sizes="",
+        layer_sizes="", latent_dimension=6, padding_dim=3,
+        dataset_dimension=3, num_batches=100, batch_size=32,
+        learning_rate=1e-3, epsilon=-1.0, tunable_decoder_var=True,
+        dataset_seed=2, overwrite=True, tqdm=False, data_dir=str(tmp_path),
+        kernels="xla",
+    )
+    assert sweep_mod.run_isolated(cfg, timeout=180, retries=0)
+    z = np.load(os.path.join(str(tmp_path), "iso", "losses.npz"),
+                allow_pickle=True)
+    assert z["VAE Loss"].shape[0] >= 100
+
+    # A crashing row (bad dataset) fails after retries without raising.
+    bad = RunConfig(**{**cfg.to_json_dict(), "name": "bad",
+                       "dataset": "4gaussian"})
+    assert not sweep_mod.run_isolated(bad, timeout=120, retries=1)
