@@ -160,6 +160,16 @@ class Trainer:
         if cfg.resume:
             self.state = restore_checkpoint(cfg.resume, self.state)
             self.batchnum = int(self.state.step)
+            # restore the learned decoder log-variance used for generation
+            # (host-side state alongside the device TrainState)
+            import json as _json
+
+            meta_path = os.path.join(cfg.resume, "ckpt_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                if "current_epsilon" in meta:
+                    self.current_epsilon = meta["current_epsilon"]
         elif cfg.state_dict:
             params, opt_state = load_model_pkl(
                 cfg.state_dict, self.state.params, self.state.opt_state
@@ -467,7 +477,15 @@ class Trainer:
             jax.device_get(self.state.params),
             jax.device_get(self.state.opt_state),
         )
-        save_checkpoint(self.dirname, self.state)
+        save_checkpoint(
+            self.dirname,
+            self.state,
+            extra_meta={
+                "current_epsilon": float(
+                    np.asarray(self.current_epsilon).reshape(-1)[0]
+                )
+            },
+        )
         self.dataset.save(os.path.join(self.dirname, "dataset.pk"))
 
     def load(self) -> None:
