@@ -159,6 +159,9 @@ class Trainer:
         # model.pkl (--state_dict, made real — SURVEY.md §3.5).
         if cfg.resume:
             self.state = restore_checkpoint(cfg.resume, self.state)
+            if self.fns.place_state is not None:
+                # restored leaves are host arrays; re-shard onto the mesh
+                self.state = self.fns.place_state(self.state)
             self.batchnum = int(self.state.step)
             # restore the learned decoder log-variance used for generation
             # (host-side state alongside the device TrainState)
