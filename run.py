@@ -48,8 +48,18 @@ def main(cfg: RunConfig) -> int:
 
         seeds = [int(s) for s in cfg.seed_grid.split(",") if s.strip()]
         return run_seed_grid(cfg, seeds)
-    output_dir = make_output_dir(cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir)
+    output_dir = make_output_dir(
+        cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir,
+        # resuming in place (e.g. a supervised retry after preemption) must
+        # reuse the existing run directory without clobber protection
+        reuse_existing=bool(cfg.resume),
+    )
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
+    if cfg.data_fn:
+        # reference parity: --data_fn loads a persisted dataset/manifold
+        # (the reference wired but never called this — model.py:91-94)
+        loaded = dataset.load(cfg.data_fn)
+        dataset = loaded if loaded is not None else dataset
     trainer = Trainer(cfg, dataset, output_dir)
     trainer.train()
     trainer.plot()

@@ -121,8 +121,12 @@ def test_samplers_are_deterministic_and_jittable():
         np.testing.assert_allclose(
             np.asarray(jitted(KEY)), np.asarray(a), rtol=1e-6
         )
-        # score is jit-able too (it runs inside compiled eval)
-        jax.jit(ds.score)(a)
+        # score is jit-able (it runs inside compiled eval) unless the
+        # dataset opted into host-side scoring
+        if not getattr(ds, "score_on_host", False):
+            jax.jit(ds.score)(a)
+        else:
+            ds.score_host(np.asarray(a))
 
 
 def test_dataset_is_a_pytree():

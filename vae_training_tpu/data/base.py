@@ -16,7 +16,7 @@ an independent stream without any host-side state.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import ClassVar, Dict
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,16 @@ class DistributionDataset(struct.PyTreeNode):
         raise NotImplementedError
 
     def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
+        raise NotImplementedError
+
+    # Datasets whose scoring needs decompositions that are unreliable on
+    # accelerator runtimes (SVD/eig family) set this True and implement
+    # score_host; the engine then scores generated batches on the host
+    # instead of fusing score() into the compiled eval program.
+    # (ClassVar: not a pytree/dataclass field.)
+    score_on_host: ClassVar[bool] = False
+
+    def score_host(self, batch) -> Dict[str, float]:
         raise NotImplementedError
 
     def plot_batch(self, batch, fn=None):  # host-side, matplotlib

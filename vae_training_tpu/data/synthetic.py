@@ -13,7 +13,7 @@ reference's full-rank resampling loop is reproduced behaviorally).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import ClassVar, Dict
 
 import jax
 import jax.numpy as jnp
@@ -91,13 +91,20 @@ class GaussianDataset(DistributionDataset):
             return jnp.concatenate([core, padding], axis=1)
         return pad_with_zeros(core, self.padding_dim)
 
+    # eigh belongs on the host on runtimes where eigen/SVD decompositions
+    # are unreliable (see CLAUDE.md); the engine honors score_on_host.
+    score_on_host: ClassVar[bool] = True
+
     def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
-        padding = batch[:, self.dim :]
-        mse = padding_energy(padding)
-        cov_hat = jnp.cov(batch.T)
-        w_ht, _ = jnp.linalg.eigh(jnp.atleast_2d(cov_hat))
-        w_gt = jnp.ones_like(w_ht)
         # Reference: /root/reference/datasets.py:113-125.
+        return self.score_host(np.asarray(batch))
+
+    def score_host(self, batch: np.ndarray) -> Dict[str, np.ndarray]:
+        padding = batch[:, self.dim:]
+        mse = float(np.mean(np.sum(np.square(padding), axis=1)))
+        cov_hat = np.atleast_2d(np.cov(batch.T))
+        w_ht = np.linalg.eigh(cov_hat)[0]
+        w_gt = np.ones_like(w_ht)
         return {
             "Squared Norm of padding dimensions": mse,
             "ground truth eigenvalue": w_gt,

@@ -80,7 +80,6 @@ def _make_kernel(
     n_enc, n_dec = len(enc_dims), len(dec_dims)
     n_w = n_enc + n_dec
     inv_b = 1.0 / batch
-    bpad = pad_dim(batch)
 
     def kernel(seed_ref, *refs):
         # ref layout: a_t, Ws(n_w), bs(n_w), vec, mWs, mbs, mvec, vWs, vbs,

@@ -22,6 +22,9 @@ CKPT_NAME = "ckpt.msgpack"
 META_NAME = "ckpt_meta.json"
 
 _async_executor = None
+# One writer at a time per process: the plot-cadence sync save and the
+# --checkpoint_every async save target the same files.
+_write_lock = __import__("threading").Lock()
 
 
 def _executor():
@@ -37,16 +40,33 @@ def _executor():
 
 def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> str:
     payload = serialization.to_bytes(jax.device_get(state))
-    path = os.path.join(dirname, CKPT_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, path)  # atomic: a preempted save never corrupts the ckpt
     meta = {"step": int(state.step)}
     if extra_meta:
         meta.update(extra_meta)
-    with open(os.path.join(dirname, META_NAME), "w") as f:
-        json.dump(meta, f)
+    path = os.path.join(dirname, CKPT_NAME)
+    meta_path = os.path.join(dirname, META_NAME)
+    # Unique tmp names + a process-wide lock: the sync (plot-cadence) and
+    # async (--checkpoint_every) savers may race; writes must not interleave
+    # and os.replace keeps every installed file atomic — a preempted save
+    # never corrupts an existing checkpoint or its metadata.
+    suffix = f".tmp.{os.getpid()}.{__import__('threading').get_ident()}"
+    with _write_lock:
+        # Never replace a newer checkpoint with an older one (a queued async
+        # save can run after a later sync save).
+        try:
+            with open(meta_path) as f:
+                if json.load(f).get("step", -1) > meta["step"]:
+                    return path
+        except (OSError, ValueError):
+            pass
+        tmp = path + suffix
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        mtmp = meta_path + suffix
+        with open(mtmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(mtmp, meta_path)
     return path
 
 

@@ -17,10 +17,15 @@ def get_output_dir(name: str, data_dir: str = "data") -> str:
     return os.path.join(data_dir, name)
 
 
-def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data") -> str:
+def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data",
+                    reuse_existing: bool = False) -> str:
     os.makedirs(data_dir, exist_ok=True)
     dirname = get_output_dir(name, data_dir)
-    if os.path.exists(dirname):
+    if os.path.exists(dirname) and reuse_existing:
+        # in-place resume: keep every artifact (checkpoints included),
+        # refresh the manifest below
+        pass
+    elif os.path.exists(dirname):
         if overwrite:
             for entry in os.listdir(dirname):
                 path = os.path.join(dirname, entry)

@@ -48,8 +48,8 @@ class GridTrainer:
     def __init__(self, cfg: RunConfig, seeds: Sequence[int]):
         self.cfg = cfg
         self.seeds = list(seeds)
-        self.n_print = N_PRINT
-        self.n_plot = N_PLOT
+        self.n_print = getattr(cfg, "n_print", N_PRINT) or N_PRINT
+        self.n_plot = getattr(cfg, "n_plot", N_PLOT) or N_PLOT
         self.eval_batch_size = EVAL_BATCH_SIZE
 
         self.datasets: List[DistributionDataset] = [
@@ -149,6 +149,8 @@ class GridTrainer:
                 partial(chunk_one, n_steps=n_steps)
             )(dataset_grid, state_grid)
 
+        score_on_host = getattr(self.datasets[0], "score_on_host", False)
+
         @jax.jit
         def eval_grid(dataset_grid, state_grid, eval_key, gen_key, epsilons):
             def one(dataset, state, eps, idx):
@@ -164,7 +166,8 @@ class GridTrainer:
                 x_hat, mu, logvar_e, epsilon = model.apply(
                     {"params": state.params}, real, z1, z2)
                 loss, dkl, mse = elbo_terms(real, x_hat, mu, logvar_e, epsilon)
-                score = dataset.score(fake)
+                # host-only scoring datasets hand the batch back instead
+                score = {"_fake": fake} if score_on_host else dataset.score(fake)
                 return loss, dkl, mse, logvar_e, epsilon, score
 
             idxs = jnp.arange(len(self.seeds))
@@ -198,7 +201,11 @@ class GridTrainer:
             self.current_epsilon[i] = epsilon[i]
             stats = {"VAE Loss": loss[i], "KL divergence": dkl[i],
                      "mse": mse[i]}
-            stats.update({k: v[i] for k, v in score.items()})
+            if "_fake" in score:
+                stats.update(self.datasets[i].score_host(
+                    np.asarray(score["_fake"][i])))
+            else:
+                stats.update({k: v[i] for k, v in score.items()})
             msg = rec.write_stats(self.batchnum, stats)
             print(f"[seed {seed}] {msg}", flush=True)
 
@@ -213,7 +220,10 @@ class GridTrainer:
                            state_i.opt_state)
             # per-seed full checkpoint: any grid row can be resumed solo
             # with --resume <name>_seed<N>
-            save_checkpoint(out, state_i)
+            save_checkpoint(out, state_i, extra_meta={
+                "current_epsilon": float(
+                    np.asarray(self.current_epsilon[i]).reshape(-1)[0])
+            })
 
     def plot_all(self, outdirs):
         """Per-seed diagnostic plots from vmapped ancestral sampling."""

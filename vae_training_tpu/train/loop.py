@@ -300,12 +300,15 @@ class Trainer:
             )
             logvar_e = out.pop("_logvar_e")
             epsilon = out.pop("_epsilon")
+            fake = out.pop("_fake", None)
             self.recorder.append_eval(out["VAE Loss"], logvar_e, epsilon)
             self.current_epsilon = epsilon
             # jit returns dicts with sorted keys; restore the reference's
             # console ordering (model stats first, then dataset scores).
             stats = {k: out.pop(k) for k in ("VAE Loss", "KL divergence", "mse")}
             stats.update(out)
+            if fake is not None:
+                stats.update(self.dataset.score_host(np.asarray(fake)))
             return stats
         real_batch = self.dataset.sample(eval_data_key, self.eval_batch_size)
         fake_batch, latents = self.sample_batch(key, self.eval_batch_size)
@@ -316,7 +319,10 @@ class Trainer:
         self.recorder.append_eval(loss, logvar_e, epsilon)
         self.current_epsilon = epsilon
         stats = {"VAE Loss": loss, "KL divergence": dkl, "mse": mse}
-        score = jax.device_get(self.fns.score(fake_batch))
+        if getattr(self.dataset, "score_on_host", False):
+            score = self.dataset.score_host(np.asarray(fake_batch))
+        else:
+            score = jax.device_get(self.fns.score(fake_batch))
         if not isinstance(score, dict):
             stats["Average Log Likelihood"] = score
             self.recorder.average_log_likelihoods.append(score)
@@ -379,17 +385,22 @@ class Trainer:
         n_batches = self.dataset.n // self.cfg.batch_size
         if n_batches == 0:
             raise ValueError("batch_size exceeds the dataset size")
-        self.batchnum = 0
+        # Resume-aware: a restored state at step S has completed S//n_batches
+        # epochs; continue from there (the per-epoch shuffle key is
+        # fold_in(data_key, epoch), so no permutation is replayed).
+        start_epoch = int(self.state.step) // n_batches
+        self.batchnum = int(self.state.step)
         self.write_stats(self.compute_stats())
         progress = None
         if self.cfg.tqdm:
             try:
                 from tqdm import trange
 
-                progress = trange(self.cfg.num_epochs)
+                progress = trange(start_epoch, self.cfg.num_epochs)
             except Exception:
                 progress = None
-        epochs = progress if progress is not None else range(self.cfg.num_epochs)
+        epochs = (progress if progress is not None
+                  else range(start_epoch, self.cfg.num_epochs))
         for self.epoch_num in epochs:
             self.state, losses = self.epoch_chunk(
                 self.state, jnp.asarray(self.epoch_num), n_batches
@@ -406,7 +417,10 @@ class Trainer:
         eval_batch = self.dataset.sample(
             self._next_eval_data_key(), self.eval_batch_size
         )
-        score = jax.device_get(self.fns.score(eval_batch))
+        if getattr(self.dataset, "score_on_host", False):
+            score = self.dataset.score_host(np.asarray(eval_batch))
+        else:
+            score = jax.device_get(self.fns.score(eval_batch))
         print(f"Score for real data: {score}", flush=True)
 
         total = self.cfg.num_batches
@@ -456,7 +470,11 @@ class Trainer:
             ):
                 # async: snapshot now, write on a background thread — the
                 # preemption-resilience path must not stall training
-                save_checkpoint_async(self.dirname, self.state)
+                save_checkpoint_async(
+                    self.dirname, self.state,
+                    extra_meta={"current_epsilon": float(
+                        np.asarray(self.current_epsilon).reshape(-1)[0])},
+                )
             b += n
             if progress is not None:
                 progress.update(n)

@@ -147,7 +147,12 @@ def make_step_fns(
             "_logvar_e": logvar_e,
             "_epsilon": eps_out,
         }
-        out.update(dataset.score(fake))
+        if getattr(dataset, "score_on_host", False):
+            # scoring needs host-only decompositions — hand the generated
+            # batch back instead of fusing score() into the program
+            out["_fake"] = fake
+        else:
+            out.update(dataset.score(fake))
         return out
 
     return StepFns(
