@@ -116,3 +116,29 @@ def test_state_dict_flag_resumes_params(tmp_outdir):
                    jax.device_get(trainer.state.opt_state))
     resumed, _, _ = build(tmp_outdir, "sd2", state_dict=path)
     assert tree_equal(resumed.state.params, trainer.state.params)
+
+
+def test_checkpoint_never_replaced_by_older(tmp_outdir):
+    """A queued async save must not clobber a newer sync checkpoint."""
+    trainer, out, _ = build(tmp_outdir, "order")
+    old_state = jax.device_get(trainer.state)  # host snapshot at step 0
+    # (snapshot BEFORE the chunk: train_chunk donates its input buffers)
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 20)
+    save_checkpoint(out, trainer.state)  # step 20
+    save_checkpoint(out, old_state)  # stale write attempt
+    restored = restore_checkpoint(out, trainer.state)
+    assert int(restored.step) == 20  # newer checkpoint survived
+
+
+def test_make_output_dir_reuse_existing(tmp_outdir):
+    from vae_training_tpu.config import RunConfig
+    from vae_training_tpu.runio import make_output_dir
+
+    cfg = RunConfig(name="ruse", data_dir=tmp_outdir)
+    out = make_output_dir("ruse", False, cfg, data_dir=tmp_outdir)
+    marker = os.path.join(out, "keep.me")
+    open(marker, "w").write("x")
+    # reuse keeps artifacts and refreshes the manifest without clobbering
+    out2 = make_output_dir("ruse", False, cfg, data_dir=tmp_outdir,
+                           reuse_existing=True)
+    assert out2 == out and os.path.exists(marker)
