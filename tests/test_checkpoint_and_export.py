@@ -142,3 +142,23 @@ def test_make_output_dir_reuse_existing(tmp_outdir):
     out2 = make_output_dir("ruse", False, cfg, data_dir=tmp_outdir,
                            reuse_existing=True)
     assert out2 == out and os.path.exists(marker)
+
+
+def test_orbax_backend_roundtrip(tmp_outdir):
+    """--ckpt_backend orbax: save via orbax, --resume auto-detects it."""
+    from vae_training_tpu.runio.checkpoint import (
+        checkpoint_exists,
+        save_checkpoint_orbax,
+    )
+
+    trainer, out, cfg = build(tmp_outdir, "orb", ckpt_backend="orbax")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 40)
+    save_checkpoint_orbax(out, trainer.state,
+                          extra_meta={"current_epsilon": -2.5})
+    assert checkpoint_exists(out)
+    assert not os.path.exists(os.path.join(out, "ckpt.msgpack"))
+
+    resumed, _, _ = build(tmp_outdir, "orb2", resume=out)
+    assert int(resumed.state.step) == 40
+    assert float(np.asarray(resumed.current_epsilon)) == -2.5
+    assert tree_equal(resumed.state.params, trainer.state.params)

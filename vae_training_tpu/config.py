@@ -77,6 +77,9 @@ class RunConfig:
     # /root/reference/model.py:123-124; configurable here).
     n_print: int = 5000
     n_plot: int = 50000
+    # Checkpoint serialization: flax msgpack (single file, fast) or orbax
+    # (ecosystem-standard tensorstore layout). --resume reads either.
+    ckpt_backend: str = "msgpack"
 
     # --- derived ----------------------------------------------------------
     @property
@@ -187,6 +190,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Stat cadence in steps (reference: 5000).")
     p.add_argument("--n_plot", dest="n_plot", type=int, default=50000,
                    help="Plot/save cadence in steps (reference: 50000).")
+    p.add_argument("--ckpt_backend", dest="ckpt_backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="Checkpoint format; --resume auto-detects either.")
     return p
 
 

@@ -81,10 +81,60 @@ def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None
 
 def restore_checkpoint(dirname: str, state_template):
     path = os.path.join(dirname, CKPT_NAME)
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(dirname, ORBAX_NAME)
+    ):
+        return restore_checkpoint_orbax(dirname, state_template)
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(state_template, data)
 
 
 def checkpoint_exists(dirname: str) -> bool:
-    return os.path.exists(os.path.join(dirname, CKPT_NAME))
+    return os.path.exists(os.path.join(dirname, CKPT_NAME)) or os.path.exists(
+        os.path.join(dirname, ORBAX_NAME)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (ecosystem-standard checkpoint format; --ckpt_backend orbax)
+# ---------------------------------------------------------------------------
+
+ORBAX_NAME = "orbax_ckpt"
+
+
+def save_checkpoint_orbax(dirname: str, state,
+                          extra_meta: Optional[dict] = None) -> str:
+    """Orbax StandardCheckpointer save — interoperable with standard JAX
+    tooling (tensorstore-backed, sharding-aware)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(dirname, ORBAX_NAME))
+    tmp_path = path + ".new"
+    import shutil
+
+    with _write_lock:
+        if os.path.exists(tmp_path):
+            shutil.rmtree(tmp_path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tmp_path, jax.device_get(state))
+        ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp_path, path)
+        meta = {"step": int(state.step), "backend": "orbax"}
+        if extra_meta:
+            meta.update(extra_meta)
+        mtmp = os.path.join(dirname, META_NAME + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(mtmp, os.path.join(dirname, META_NAME))
+    return path
+
+
+def restore_checkpoint_orbax(dirname: str, state_template):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(dirname, ORBAX_NAME))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, jax.device_get(state_template))

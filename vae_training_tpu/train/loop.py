@@ -498,7 +498,10 @@ class Trainer:
             jax.device_get(self.state.params),
             jax.device_get(self.state.opt_state),
         )
-        save_checkpoint(
+        ckpt_fn = save_checkpoint
+        if getattr(self.cfg, "ckpt_backend", "msgpack") == "orbax":
+            from ..runio.checkpoint import save_checkpoint_orbax as ckpt_fn
+        ckpt_fn(
             self.dirname,
             self.state,
             extra_meta={
