@@ -108,6 +108,7 @@ def _make_kernel(
     external_noise: bool,
     dataset_kind: str = "linear",  # "linear" | "sigmoid"
     dual: bool = False,  # dual sigmoid+plain decoder (sigmoid configs)
+    grid: bool = False,  # one grid step per sweep seed (blocks have lead dim 1)
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
@@ -117,7 +118,14 @@ def _make_kernel(
     (/root/reference/datasets.py:240-249); ``dual=True`` adds the sigmoid
     decoder head x̂ = σ(s·Ws + bs) + s·Wd + bd
     (/root/reference/networks.py:75-78) with its analytic backward.
+
+    ``grid=True`` runs one SWEEP SEED per pallas grid step: every buffer
+    gains a leading axis of size n_seeds in HBM and each grid step's blocks
+    (lead dim 1) are streamed into VMEM by the BlockSpec machinery — the
+    whole multi-seed sweep becomes one kernel launch.
     """
+    if grid and external_noise:
+        raise ValueError("grid mode has no external-noise test hook")
 
     inv_b = 1.0 / batch
 
@@ -136,13 +144,21 @@ def _make_kernel(
              we_out, wd_out, ws_out, vec_out,
              mwe_out, vwe_out, mwd_out, vwd_out, mws_out, vws_out,
              mvec_out, vvec_out, loss_ref) = refs
-            pltpu.prng_seed(seed_ref[0])
+            if grid:
+                pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
+            else:
+                pltpu.prng_seed(seed_ref[0])
 
-        t0 = seed_ref[1].astype(jnp.float32)
+        if grid:
+            t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
+            ld = lambda r: r[0]  # blocks carry a leading seed axis of 1
+        else:
+            t0 = seed_ref[1].astype(jnp.float32)
+            ld = lambda r: r[:]
         # (N, N) manifold matrix: linear → A.T at [:intrinsic, :dim];
         # sigmoid → A's column at [:dim, dim] so n·a_t lands σ's logit in
         # the σ-coordinate column.
-        a_t = at_ref[:]
+        a_t = ld(at_ref)
 
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
@@ -209,6 +225,9 @@ def _make_kernel(
             mse_const = 0.5 * data_dim * (LOG_2PI + eps)
             loss = (kl_const + 0.5 * inv_b * sum_mu2
                     + 0.5 * inv_var * inv_b * sum_r2 + mse_const)
+            # identical 2-D store in both modes: grid mode gives each seed
+            # its own (n_steps, 1) block of a flattened loss buffer (a 3-D
+            # block with dynamic middle index lowers pathologically)
             loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
 
             # --- analytic backward ---------------------------------------
@@ -263,14 +282,17 @@ def _make_kernel(
             vec, mvec, vvec = _adam(vec, mvec, vvec, g_vec, t, lr)
             return we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
 
-        init = (we_ref[:], wd_ref[:], ws_ref[:], vec_ref[:],
-                mwe_ref[:], vwe_ref[:], mwd_ref[:], vwd_ref[:],
-                mws_ref[:], vws_ref[:], mvec_ref[:], vvec_ref[:])
+        ins = (we_ref, wd_ref, ws_ref, vec_ref, mwe_ref, vwe_ref,
+               mwd_ref, vwd_ref, mws_ref, vws_ref, mvec_ref, vvec_ref)
+        init = tuple(ld(r) for r in ins)
         out = jax.lax.fori_loop(0, n_steps, body, init)
         outs = (we_out, wd_out, ws_out, vec_out, mwe_out, vwe_out,
                 mwd_out, vwd_out, mws_out, vws_out, mvec_out, vvec_out)
         for dst, val in zip(outs, out):
-            dst[:] = val
+            if grid:
+                dst[0] = val
+            else:
+                dst[:] = val
 
     return kernel
 
@@ -300,22 +322,33 @@ def run_fused_chunk(
     dual: bool = False,
     external_noise: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
+    grid_n: int = 0,
 ):
-    """Invoke the fused kernel for one chunk. Returns (new_buffers, losses)."""
+    """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
+
+    ``grid_n > 0`` = multi-seed mode: every buffer (and the seed pair /
+    manifold matrix) carries a leading axis of size grid_n; one pallas grid
+    step trains one seed, its state blocks streamed HBM→VMEM by BlockSpec.
+    """
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None,
-        dataset_kind=dataset_kind, dual=dual,
+        dataset_kind=dataset_kind, dual=dual, grid=grid_n > 0,
     )
-    mat = jax.ShapeDtypeStruct((N, N), jnp.float32)
-    vecb = jax.ShapeDtypeStruct((8, N), jnp.float32)
+    lead = (grid_n,) if grid_n else ()
+    blead = (1,) if grid_n else ()
+    mat = jax.ShapeDtypeStruct(lead + (N, N), jnp.float32)
+    vecb = jax.ShapeDtypeStruct(lead + (8, N), jnp.float32)
     # order: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
     state_shapes = [mat, mat, mat, vecb, mat, mat, mat, mat, mat, mat,
                     vecb, vecb]
+    # grid mode: per-seed loss blocks must be 8-row aligned for Mosaic
+    n_steps_pad = ((n_steps + 7) // 8) * 8 if grid_n else n_steps
+    loss_shape = ((grid_n * n_steps_pad, 1) if grid_n else (n_steps, 1))
     out_shapes = tuple(state_shapes) + (
-        jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+        jax.ShapeDtypeStruct(loss_shape, jnp.float32),
     )
     inputs = [a_t, *buffers]
     if external_noise is not None:
@@ -327,14 +360,38 @@ def run_fused_chunk(
     # training state round-trips in place.
     aliases = {j + 1: j - 1 for j in range(1, N_STATE_BUFFERS + 1)}
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-        out_specs=tuple(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (N_STATE_BUFFERS + 1)
-        ),
-    )
+    if grid_n:
+        def spec_for(shape):
+            block = blead + shape
+            # index_map receives (grid_idx, *scalar_prefetch_refs)
+            return pl.BlockSpec(
+                block, lambda i, *_: (i,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [spec_for((N, N))]  # a_t
+        for s in state_shapes:
+            in_specs.append(spec_for(s.shape[1:]))
+        # loss: flattened (grid_n*n_steps_pad, 1); seed i owns block row i
+        loss_spec = pl.BlockSpec(
+            (n_steps_pad, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        out_specs = tuple(
+            [spec_for(s.shape[1:]) for s in state_shapes] + [loss_spec]
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_n,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            out_specs=tuple(
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * (N_STATE_BUFFERS + 1)
+            ),
+        )
     n_matmuls = 10 if dual else 6
     out = pl.pallas_call(
         kernel,
@@ -351,7 +408,10 @@ def run_fused_chunk(
             transcendentals=12 * N * N * n_steps,
         ),
     )(seed_and_t0, *inputs)
-    return out[:N_STATE_BUFFERS], out[N_STATE_BUFFERS][:, 0]
+    losses = out[N_STATE_BUFFERS][:, 0]
+    if grid_n:
+        losses = losses.reshape(grid_n, n_steps_pad)[:, :n_steps]
+    return out[:N_STATE_BUFFERS], losses
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,82 @@ class GridTrainer:
                 partial(chunk_one, n_steps=n_steps)
             )(dataset_grid, state_grid)
 
+        self._train_chunk = train_chunk
+        if self.cfg.kernels in ("auto", "pallas") and not self.cfg.nojit:
+            fused = self._build_pallas_grid_chunk()
+            if fused is not None:
+                self._train_chunk = fused
+        self._build_eval(model, batch_size, latent_dim, data_dim)
+
+    def _build_pallas_grid_chunk(self):
+        """Multi-seed fused kernel: ONE pallas launch trains every seed (one
+        grid step per seed, per-seed state streamed HBM→VMEM). Returns None
+        when the config isn't in the fused kernel's envelope."""
+        from ..kernels.linear_vae import (
+            N,
+            _adam_state,
+            _pack_mat,
+            pack_state,
+            pallas_supported,
+            run_fused_chunk,
+            unpack_state,
+        )
+        from ..data.synthetic import SigmoidDataset
+
+        ok, _why = pallas_supported(self.model, self.datasets[0], self.cfg)
+        if not ok:
+            return None
+        model, cfg = self.model, self.cfg
+        data_dim, latent_dim = self.data_dim, self.latent_dim
+        tdv, dual = model.tunable_decoder_var, model.dual_sigmoid_decoder
+        n_seeds = len(self.seeds)
+        if isinstance(self.datasets[0], SigmoidDataset):
+            dataset_kind, var_added = "sigmoid", 0.0
+            intrinsic_dim = self.datasets[0].dim
+            a_t = jnp.stack([
+                jnp.zeros((N, N), jnp.float32).at[: d.dim, d.dim].set(d.A[:, 0])
+                for d in self.datasets
+            ])
+        else:
+            dataset_kind = "linear"
+            var_added = self.datasets[0].var_added
+            intrinsic_dim = self.datasets[0].intrinsic_dim
+            a_t = jnp.stack([_pack_mat((N, N), d.A.T) for d in self.datasets])
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grid",))
+        def train_chunk(dataset_grid, state_grid, n_steps: int):
+            del dataset_grid  # manifolds baked into the stacked a_t
+
+            def seed_of(state):
+                k1 = jax.random.fold_in(state.data_key, state.step)
+                k2 = jax.random.fold_in(state.model_key, state.step)
+                s = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+                t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+                return jnp.stack([s, t0])
+
+            seeds = jax.vmap(seed_of)(state_grid)
+            buffers = jax.vmap(
+                lambda st: pack_state(st, data_dim, latent_dim, tdv, dual=dual)
+            )(state_grid)
+            new_buffers, losses = run_fused_chunk(
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t,
+                buffers=buffers, batch=cfg.batch_size, data_dim=data_dim,
+                latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
+                var_added=var_added, eps_const=model.epsilon, tdv=tdv,
+                lr=cfg.learning_rate, dataset_kind=dataset_kind, dual=dual,
+                grid_n=n_seeds,
+            )
+            new_grid = jax.vmap(
+                lambda st, *bufs: unpack_state(
+                    st, bufs, n_steps, data_dim, latent_dim, tdv, dual=dual)
+            )(state_grid, *new_buffers)
+            return new_grid, losses
+
+        return train_chunk
+
+    def _build_eval(self, model, batch_size, latent_dim, data_dim):
+
         score_on_host = getattr(self.datasets[0], "score_on_host", False)
 
         @jax.jit
@@ -173,7 +249,6 @@ class GridTrainer:
             idxs = jnp.arange(len(self.seeds))
             return jax.vmap(one)(dataset_grid, state_grid, epsilons, idxs)
 
-        self._train_chunk = train_chunk
         self._eval_grid = eval_grid
 
     # ------------------------------------------------------------------
