@@ -137,6 +137,32 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
     return False
 
 
+SWEEP_SEEDS = {"linear": [2, 3, 4], "sigmoid": [69, 24, 48],
+               "sphere": [69, 24, 48]}
+
+
+def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str) -> int:
+    """Max-speed sweep: each row's seeds train as ONE grid launch (the
+    fused pallas grid kernel where eligible), reusing the reference run
+    names. The linear sweep's 21 runs collapse to 7 launches."""
+    from vae_training_tpu.train.grid import run_seed_grid
+
+    seeds = SWEEP_SEEDS[sweep]
+    rows = {}
+    for cfg in sweep_configs(sweep, data_dir, num_batches, kernels):
+        key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
+        rows.setdefault(key, {})[cfg.dataset_seed] = cfg
+    for key, by_seed in rows.items():
+        cfgs = [by_seed[s] for s in seeds]
+        names = {s: c.name for s, c in zip(seeds, cfgs)}
+        t0 = time.perf_counter()
+        run_seed_grid(cfgs[0], seeds, name_fn=lambda s: names[s])
+        print(f"[sweep] row dd={key[0]} pd={key[1]} ld={key[2]} "
+              f"({len(seeds)} seeds) done in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sweep", choices=["linear", "sigmoid", "sphere"])
@@ -145,6 +171,9 @@ def main(argv=None) -> int:
                    help="Override the sweep's per-run step count.")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--grouped", action="store_true",
+                   help="Train each row's seeds as ONE grid launch (fused "
+                        "pallas grid kernel where eligible).")
     p.add_argument("--isolate", action="store_true",
                    help="Run each row as a supervised subprocess with "
                         "timeout + retry + resume-from-checkpoint (turns "
@@ -156,6 +185,19 @@ def main(argv=None) -> int:
                    help="Off-cadence async checkpoints (useful with "
                         "--isolate so retries resume mid-run).")
     args = p.parse_args(argv)
+
+    if args.grouped:
+        if args.isolate:
+            raise SystemExit("--grouped and --isolate are mutually exclusive")
+        from vae_training_tpu.runio import enable_compile_cache
+
+        enable_compile_cache()
+        t0 = time.perf_counter()
+        rc = run_grouped(args.sweep, args.data_dir, args.num_batches,
+                         args.kernels)
+        print(f"[sweep] grouped {args.sweep} in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        return rc
 
     t0 = time.perf_counter()
     count, failed = 0, []

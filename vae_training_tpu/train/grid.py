@@ -341,15 +341,22 @@ class GridTrainer:
         self.batchnum = max(total - 1, 0)
 
 
-def run_seed_grid(cfg: RunConfig, seeds: Sequence[int]) -> int:
-    """CLI entry: one launch, per-seed output dirs ``<name>_seed<N>``."""
+def run_seed_grid(cfg: RunConfig, seeds: Sequence[int], name_fn=None) -> int:
+    """CLI entry: one launch, per-seed output dirs.
+
+    ``name_fn(seed) -> str`` overrides the default ``<name>_seed<N>`` output
+    naming (the in-process sweep runner uses it to keep the reference's run
+    names).
+    """
+    if name_fn is None:
+        name_fn = lambda seed: f"{cfg.name}_seed{seed}"
     trainer = GridTrainer(cfg, seeds)
     outdirs = []
     for seed in seeds:
         sub = cfg.__class__(**{**cfg.to_json_dict()})
         sub.dataset_seed = seed
         outdirs.append(
-            make_output_dir(f"{cfg.name}_seed{seed}", cfg.overwrite, sub,
+            make_output_dir(name_fn(seed), cfg.overwrite, sub,
                             data_dir=cfg.data_dir)
         )
     trainer.train(outdirs)
