@@ -60,3 +60,19 @@ def test_isolated_runner_success_and_failure(tmp_path, monkeypatch):
     bad = RunConfig(**{**cfg.to_json_dict(), "name": "bad",
                        "dataset": "4gaussian"})
     assert not sweep_mod.run_isolated(bad, timeout=120, retries=1)
+
+
+def test_grouped_sweep_runs_rows_as_grids(tmp_path, monkeypatch):
+    """--grouped groups each row's seeds into one grid launch (vmapped XLA
+    fallback on CPU) with reference run names."""
+    import sweep as sweep_mod
+
+    # shrink the grid to one row to keep the test fast
+    monkeypatch.setattr(sweep_mod, "LINEAR_GRID", [(3, 9, 20)])
+    rc = sweep_mod.run_grouped("linear", str(tmp_path), 60, "xla")
+    assert rc == 0
+    for seed in (2, 3, 4):
+        out = os.path.join(str(tmp_path), f"vae3linear_gaussian_12dim{seed}")
+        assert os.path.exists(os.path.join(out, "losses.npz")), out
+        z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
+        assert np.isfinite(z["VAE Loss"]).all()
