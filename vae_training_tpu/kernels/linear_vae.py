@@ -58,19 +58,19 @@ def _uniform(shape):
     return (u + 0.5) * (1.0 / 16777216.0)
 
 
-def _normal_block():
-    """(N, N) standard normals via Box-Muller on the in-kernel PRNG."""
-    u1 = _uniform((N, N))
-    u2 = _uniform((N, N))
+def _normal_block(rows: int = N):
+    """(rows, N) standard normals via Box-Muller on the in-kernel PRNG."""
+    u1 = _uniform((rows, N))
+    u2 = _uniform((rows, N))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _normal_block_pair():
-    """TWO (N, N) normal blocks from ONE Box-Muller transform (cos & sin
+def _normal_block_pair(rows: int = N):
+    """TWO (rows, N) normal blocks from ONE Box-Muller transform (cos & sin
     partners share the radius), halving the PRNG + transcendental cost."""
-    u1 = _uniform((N, N))
-    u2 = _uniform((N, N))
+    u1 = _uniform((rows, N))
+    u2 = _uniform((rows, N))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = 2.0 * jnp.pi * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
@@ -81,9 +81,16 @@ def _col_mask(width: int):
     return (c < width).astype(jnp.float32)
 
 
-def _row_mask(height: int):
-    r = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+def _row_mask(height: int, rows: int = N):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     return (r < height).astype(jnp.float32)
+
+
+def row_tile(batch: int) -> int:
+    """Smallest 8-aligned row count covering the batch (f32 sublane tile),
+    capped at N. Activations/noise use (rows, N) blocks instead of (N, N):
+    VPU + PRNG work scales with rows/N."""
+    return min(N, ((batch + 7) // 8) * 8)
 
 
 def _adam(p, m, v, g, t, lr):
@@ -128,6 +135,9 @@ def _make_kernel(
         raise ValueError("grid mode has no external-noise test hook")
 
     inv_b = 1.0 / batch
+    # external-noise (test) blocks are full (N, N); production blocks only
+    # span the batch's 8-aligned row tile
+    rows = N if external_noise else row_tile(batch)
 
     def kernel(seed_ref, *refs):
         if external_noise:
@@ -163,7 +173,7 @@ def _make_kernel(
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
         int_m = _col_mask(intrinsic_dim)
-        row_m = _row_mask(batch)
+        row_m = _row_mask(batch, rows)
         if dataset_kind == "sigmoid":
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
             sig_col_m = (col_ids == intrinsic_dim).astype(jnp.float32)
@@ -179,7 +189,7 @@ def _make_kernel(
                 z1 = z1n_ref[i]
                 z2 = z2n_ref[i]
             else:
-                n_raw, z1_raw = _normal_block_pair()
+                n_raw, z1_raw = _normal_block_pair(rows)
                 n_int = n_raw * int_m
                 if dataset_kind == "sigmoid":
                     logit = jnp.dot(n_int, a_t,
@@ -189,10 +199,11 @@ def _make_kernel(
                     x = jnp.dot(n_int, a_t,
                                 preferred_element_type=jnp.float32)
                     if var_added > 0.0:
-                        x = x + _normal_block() * dat_m * math.sqrt(var_added)
+                        x = (x + _normal_block(rows) * dat_m
+                             * math.sqrt(var_added))
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                z2 = _normal_block() * dat_m * row_m
+                z2 = _normal_block(rows) * dat_m * row_m
 
             be = vec[ROW_BE:ROW_BE + 1, :]
             bd = vec[ROW_BD:ROW_BD + 1, :]
