@@ -44,6 +44,7 @@ from .linear_vae import (
     _normal_block_pair,
     _pack_mat,
     _row_mask,
+    row_tile,
 )
 
 LANE = 128
@@ -80,6 +81,9 @@ def _make_kernel(
     n_enc, n_dec = len(enc_dims), len(dec_dims)
     n_w = n_enc + n_dec
     inv_b = 1.0 / batch
+    # activations span only the batch's 8-aligned row tile (tests use full
+    # blocks via external noise)
+    rows = LANE if external_noise else row_tile(batch)
 
     def kernel(seed_ref, *refs):
         # ref layout: a_t, Ws(n_w), bs(n_w), vec, mWs, mbs, mvec, vWs, vbs,
@@ -115,7 +119,7 @@ def _make_kernel(
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
         int_m = _col_mask(intrinsic_dim)
-        row_m = _row_mask(batch)
+        row_m = _row_mask(batch, rows)
 
         def dotf(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -168,7 +172,7 @@ def _make_kernel(
                 z1 = z1n_ref[i]
                 z2 = z2n_ref[i]
             else:
-                n_raw, z1_raw = _normal_block_pair()
+                n_raw, z1_raw = _normal_block_pair(rows)
                 if dataset_kind == "sphere":
                     g = n_raw * int_m
                     norm2 = jnp.sum(g * g, axis=1, keepdims=True)
@@ -178,11 +182,11 @@ def _make_kernel(
                     n_int = n_raw * int_m
                     x = dotf(n_int, a_t)
                     if var_added > 0.0:
-                        x = (x + _normal_block() * dat_m
+                        x = (x + _normal_block(rows) * dat_m
                              * math.sqrt(var_added))
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                z2 = _normal_block() * dat_m * row_m
+                z2 = _normal_block(rows) * dat_m * row_m
 
             be_w = [w for w in ws[:n_enc]]
             be_b = [b for b in bs[:n_enc]]
