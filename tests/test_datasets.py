@@ -145,3 +145,35 @@ def test_registry_factory_and_unknown_name():
     assert isinstance(ds, GaussianDataset)
     with pytest.raises(ValueError, match="Unknown dataset"):
         get_dataset("4gaussian", 2, args)
+
+
+def test_sampler_golden_values():
+    """Pinned sampler outputs at fixed seeds (SURVEY §4: golden-value tests
+    guard against accidental sampler-semantics changes across versions)."""
+    key = jax.random.PRNGKey(7)
+    goldens = {
+        "sphere": (
+            SphereDataset(dim=3, padding_dim=2),
+            [[0.217958, 0.943565, -0.249357, 0.0, 0.0],
+             [-0.197265, 0.861473, 0.467922, 0.0, 0.0]],
+        ),
+        "linear": (
+            LinearGaussianDataset.create(2, 3, 3, 2),
+            [[4.017021, 0.271658, -0.309552, 0.0, 0.0],
+             [0.626419, -3.464566, -2.045262, 0.0, 0.0]],
+        ),
+        "sigmoid": (
+            SigmoidDataset.create(2, 3, 2),
+            [[0.451235, 1.953451, -0.516239, 0.909121, 0.0, 0.0],
+             [-0.14094, 0.615497, 0.334316, 0.258642, 0.0, 0.0]],
+        ),
+        "gaussian": (
+            GaussianDataset(dim=3, padding_dim=2, noise_level=0.01),
+            [[1.114047, 0.141631, -0.522454, 0.045413, 0.093916],
+             [-0.433046, 2.412499, -0.821474, -0.026894, -0.019085]],
+        ),
+    }
+    for name, (ds, expected) in goldens.items():
+        got = np.asarray(ds.sample(key, 2))
+        np.testing.assert_allclose(got, np.asarray(expected), atol=2e-6,
+                                   err_msg=name)
