@@ -60,6 +60,17 @@ class GridTrainer:
                 "--seed_grid supports distribution datasets; epoch-mode "
                 "image corpora train one run at a time"
             )
+        if cfg.resume or cfg.state_dict:
+            raise NotImplementedError(
+                "--seed_grid starts fresh; resume individual rows solo with "
+                "--resume <name>_seed<N>"
+            )
+        if cfg.mesh:
+            raise NotImplementedError(
+                "--seed_grid batches over seeds on one chip; drop --mesh"
+            )
+        if cfg.arch == "conv":
+            raise ValueError("--seed_grid supports the MLP VAE architectures")
         data_dim = self.datasets[0].dimension
         self.data_dim = data_dim
         self.latent_dim = cfg.latent_dimension
