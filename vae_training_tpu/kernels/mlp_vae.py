@@ -77,7 +77,10 @@ def _make_kernel(
     tdv: bool,
     lr: float,
     external_noise: bool,
+    grid: bool = False,  # one grid step per sweep seed (lead dim 1 blocks)
 ):
+    if grid and external_noise:
+        raise ValueError("grid mode has no external-noise test hook")
     n_enc, n_dec = len(enc_dims), len(dec_dims)
     n_w = n_enc + n_dec
     inv_b = 1.0 / batch
@@ -90,7 +93,7 @@ def _make_kernel(
         # vvec, [xn, z1n, z2n], then the same param/moment set as outputs,
         # then loss_ref.
         idx = 0
-        a_t = refs[idx]; idx += 1
+        a_t_ref = refs[idx]; idx += 1
         w_refs = refs[idx: idx + n_w]; idx += n_w
         b_refs = refs[idx: idx + n_w]; idx += n_w
         vec_ref = refs[idx]; idx += 1
@@ -103,7 +106,10 @@ def _make_kernel(
         if external_noise:
             xn_ref, z1n_ref, z2n_ref = refs[idx: idx + 3]; idx += 3
         else:
-            pltpu.prng_seed(seed_ref[0])
+            if grid:
+                pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
+            else:
+                pltpu.prng_seed(seed_ref[0])
         out_w = refs[idx: idx + n_w]; idx += n_w
         out_b = refs[idx: idx + n_w]; idx += n_w
         out_vec = refs[idx]; idx += 1
@@ -115,7 +121,13 @@ def _make_kernel(
         out_vvec = refs[idx]; idx += 1
         loss_ref = refs[idx]
 
-        t0 = seed_ref[1].astype(jnp.float32)
+        if grid:
+            t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
+            ld = lambda r: r[0]
+        else:
+            t0 = seed_ref[1].astype(jnp.float32)
+            ld = lambda r: r[:]
+        a_t = ld(a_t_ref)
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
         int_m = _col_mask(intrinsic_dim)
@@ -253,29 +265,31 @@ def _make_kernel(
                     tuple(new_vws), tuple(new_vbs), vvec)
 
         init = (
-            tuple(r[:] for r in w_refs), tuple(r[:] for r in b_refs),
-            vec_ref[:],
-            tuple(r[:] for r in mw_refs), tuple(r[:] for r in mb_refs),
-            mvec_ref[:],
-            tuple(r[:] for r in vw_refs), tuple(r[:] for r in vb_refs),
-            vvec_ref[:],
+            tuple(ld(r) for r in w_refs), tuple(ld(r) for r in b_refs),
+            ld(vec_ref),
+            tuple(ld(r) for r in mw_refs), tuple(ld(r) for r in mb_refs),
+            ld(mvec_ref),
+            tuple(ld(r) for r in vw_refs), tuple(ld(r) for r in vb_refs),
+            ld(vvec_ref),
         )
         out = jax.lax.fori_loop(0, n_steps, body, init)
-        for dst, val in zip(out_w, out[0]):
-            dst[:] = val
-        for dst, val in zip(out_b, out[1]):
-            dst[:] = val
-        out_vec[:] = out[2]
-        for dst, val in zip(out_mw, out[3]):
-            dst[:] = val
-        for dst, val in zip(out_mb, out[4]):
-            dst[:] = val
-        out_mvec[:] = out[5]
-        for dst, val in zip(out_vw, out[6]):
-            dst[:] = val
-        for dst, val in zip(out_vb, out[7]):
-            dst[:] = val
-        out_vvec[:] = out[8]
+
+        def st(dst, val):
+            if grid:
+                dst[0] = val
+            else:
+                dst[:] = val
+
+        for group_out, group_val in (
+            (out_w, out[0]), (out_b, out[1]),
+            (out_mw, out[3]), (out_mb, out[4]),
+            (out_vw, out[6]), (out_vb, out[7]),
+        ):
+            for dst, val in zip(group_out, group_val):
+                st(dst, val)
+        st(out_vec, out[2])
+        st(out_mvec, out[5])
+        st(out_vvec, out[8])
 
     return kernel
 
@@ -387,19 +401,22 @@ def run_mlp_fused_chunk(
     lr: float,
     external_noise=None,
     interpret: bool = False,
+    grid_n: int = 0,
 ):
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, enc_dims=list(enc_dims), dec_dims=list(dec_dims),
         dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
-        external_noise=external_noise is not None,
+        external_noise=external_noise is not None, grid=grid_n > 0,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
     state_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in state_arrays]
+    n_steps_pad = ((n_steps + 7) // 8) * 8 if grid_n else n_steps
+    loss_shape = ((grid_n * n_steps_pad, 1) if grid_n else (n_steps, 1))
     out_shapes = tuple(state_shapes) + (
-        jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+        jax.ShapeDtypeStruct(loss_shape, jnp.float32),
     )
     inputs = [a_t, *state_arrays]
     if external_noise is not None:
@@ -407,12 +424,33 @@ def run_mlp_fused_chunk(
     n_state = len(state_arrays)
     # flattened input indices: 0 seed, 1 a_t, 2.. state buffers
     aliases = {j + 2: j for j in range(n_state)}
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)),
-    )
+    if grid_n:
+        # grid mode: arrays carry a leading seed axis; one block per seed
+        def spec_for(shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda i, *_: (i,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [spec_for(a_t.shape[1:])]
+        in_specs += [spec_for(s.shape[1:]) for s in state_shapes]
+        loss_spec = pl.BlockSpec(
+            (n_steps_pad, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        out_specs = tuple(
+            [spec_for(s.shape[1:]) for s in state_shapes] + [loss_spec])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_n,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+            out_specs=tuple(
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)),
+        )
     flops = sum(2 * pad_dim(i) * pad_dim(o) * pad_dim(batch) * 3
                 for i, o in list(enc_dims) + list(dec_dims))
     out = pl.pallas_call(
@@ -431,6 +469,8 @@ def run_mlp_fused_chunk(
         ),
     )(seed_and_t0, *inputs)
     new_state_arrays, losses = out[:n_state], out[n_state][:, 0]
+    if grid_n:
+        losses = losses.reshape(grid_n, n_steps_pad)[:, :n_steps]
     n_w = len(pw)
     new_packed = (
         list(new_state_arrays[0: n_w]),

@@ -163,8 +163,32 @@ class GridTrainer:
         self._train_chunk = train_chunk
         if self.cfg.kernels in ("auto", "pallas") and not self.cfg.nojit:
             fused = self._build_pallas_grid_chunk()
+            if fused is None:
+                fused = self._build_mlp_pallas_grid_chunk()
             if fused is not None:
-                self._train_chunk = fused
+                # runtime fallback: a config can exceed the kernel's VMEM
+                # envelope only at compile time — fall back to the vmapped
+                # XLA chunk instead of failing the run
+                vmapped = train_chunk
+                tried = {"ok": None}
+
+                def chunk_with_fallback(dataset_grid, state_grid, n_steps):
+                    if tried["ok"] is False:
+                        return vmapped(dataset_grid, state_grid, n_steps)
+                    try:
+                        out = fused(dataset_grid, state_grid, n_steps)
+                        tried["ok"] = True
+                        return out
+                    except Exception as e:
+                        if tried["ok"]:
+                            raise
+                        print(f"[grid] fused kernel unavailable "
+                              f"({type(e).__name__}); using vmapped XLA",
+                              flush=True)
+                        tried["ok"] = False
+                        return vmapped(dataset_grid, state_grid, n_steps)
+
+                self._train_chunk = chunk_with_fallback
         self._build_eval(model, batch_size, latent_dim, data_dim)
 
     def _build_pallas_grid_chunk(self):
@@ -230,6 +254,73 @@ class GridTrainer:
                 lambda st, *bufs: unpack_state(
                     st, bufs, n_steps, data_dim, latent_dim, tdv, dual=dual)
             )(state_grid, *new_buffers)
+            return new_grid, losses
+
+        return train_chunk
+
+    def _build_mlp_pallas_grid_chunk(self):
+        """Grid mode of the fused MLP kernel (sphere/linear MLP configs)."""
+        from ..data.synthetic import SphereDataset
+        from ..kernels.linear_vae import _adam_state, _pack_mat
+        from ..kernels.mlp_vae import (
+            LANE,
+            _layer_dims,
+            mlp_pallas_supported,
+            pack_mlp_state,
+            run_mlp_fused_chunk,
+            unpack_mlp_state,
+        )
+
+        ok, _why = mlp_pallas_supported(self.model, self.datasets[0], self.cfg)
+        if not ok:
+            return None
+        model, cfg = self.model, self.cfg
+        data_dim, latent_dim = self.data_dim, self.latent_dim
+        tdv = model.tunable_decoder_var
+        n_seeds = len(self.seeds)
+        enc_dims = _layer_dims(model.encoder_features, data_dim)
+        dec_dims = _layer_dims(model.decoder_features, latent_dim)
+        if isinstance(self.datasets[0], SphereDataset):
+            dataset_kind, var_added = "sphere", 0.0
+            intrinsic_dim = self.datasets[0].dim
+            a_t = jnp.zeros((n_seeds, LANE, LANE), jnp.float32)
+        else:
+            dataset_kind = "linear"
+            var_added = self.datasets[0].var_added
+            intrinsic_dim = self.datasets[0].intrinsic_dim
+            a_t = jnp.stack([_pack_mat((LANE, LANE), d.A.T)
+                             for d in self.datasets])
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grid",))
+        def train_chunk(dataset_grid, state_grid, n_steps: int):
+            del dataset_grid
+
+            def seed_of(state):
+                k1 = jax.random.fold_in(state.data_key, state.step)
+                k2 = jax.random.fold_in(state.model_key, state.step)
+                s = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+                t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+                return jnp.stack([s, t0])
+
+            seeds = jax.vmap(seed_of)(state_grid)
+            packed = jax.vmap(
+                lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv)
+            )(state_grid)
+            new_packed, losses = run_mlp_fused_chunk(
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t, packed=packed,
+                batch=cfg.batch_size, data_dim=data_dim,
+                latent_dim=latent_dim, enc_dims=enc_dims, dec_dims=dec_dims,
+                dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
+                var_added=var_added, eps_const=model.epsilon, tdv=tdv,
+                lr=cfg.learning_rate, grid_n=n_seeds,
+            )
+            new_grid = jax.vmap(
+                lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec:
+                unpack_mlp_state(
+                    st, (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec),
+                    n_steps, enc_dims, dec_dims, tdv, latent_dim)
+            )(state_grid, *new_packed)
             return new_grid, losses
 
         return train_chunk
