@@ -156,3 +156,37 @@ def test_empty_layer_string_is_pure_linear():
     assert set(params["Encoder"]) == {"FC0"}
     assert params["Encoder"]["FC0"]["kernel"].shape == (4, 2)
     assert params["Decoder"]["FC0"]["kernel"].shape == (2, 4)
+
+
+def test_fcn_optional_features():
+    """FullyConnectedNetwork's optional knobs (leaky ReLU, BatchNorm,
+    sigmoid head, unit-normal kernel init) — reference networks.py:26-47."""
+    from vae_training_tpu.models import FullyConnectedNetwork
+
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 5), jnp.float32)
+
+    # leaky: negative pre-activations leak by 0.1
+    net = FullyConnectedNetwork((8, 3), leaky=True)
+    variables = net.init(KEY, x)
+    out = net.apply(variables, x)
+    assert out.shape == (16, 3)
+
+    # sigmoid head bounds outputs
+    net = FullyConnectedNetwork((8, 3), sigmoid_head=True)
+    out = net.apply(net.init(KEY, x), x)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    # batch_norm: mutable batch_stats collection exists and updates
+    net = FullyConnectedNetwork((8, 8, 3), batch_norm=True)
+    variables = net.init(KEY, x)
+    assert "batch_stats" in variables
+    out, mutated = net.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (16, 3)
+    leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+    # unit-normal kernel init (reference's datasets=True): std ~ 1, not lecun
+    net = FullyConnectedNetwork((256,), unit_normal_init=True)
+    params = net.init(KEY, x)["params"]
+    std = float(jnp.std(params["FC0"]["kernel"]))
+    assert 0.8 < std < 1.2
