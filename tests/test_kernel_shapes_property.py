@@ -51,8 +51,12 @@ def test_linear_kernel_equivalence_random_shapes(batch, dim, intrinsic,
     z1s = rng.randn(n_steps, batch, latent).astype(np.float32)
     z2s = rng.randn(n_steps, batch, D).astype(np.float32)
 
+    from vae_training_tpu.kernels.linear_vae import row_tile
+
+    rows = row_tile(batch)
+
     def emb(a):
-        out = np.zeros((n_steps, N, N), np.float32)
+        out = np.zeros((n_steps, rows, N), np.float32)
         out[:, : a.shape[1], : a.shape[2]] = a
         return jnp.asarray(out)
 

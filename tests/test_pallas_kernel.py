@@ -78,8 +78,12 @@ def sample_noise(dataset, n_steps, seed=0):
 
 
 def pad_noise(x, z1, z2, n_steps):
+    from vae_training_tpu.kernels.linear_vae import row_tile
+
+    rows = row_tile(BATCH)  # kernel blocks span the batch's row tile
+
     def emb(a):
-        out = np.zeros((n_steps, N, N), np.float32)
+        out = np.zeros((n_steps, rows, N), np.float32)
         out[:, : a.shape[1], : a.shape[2]] = a
         return jnp.asarray(out)
 

@@ -1,8 +1,10 @@
 """Kernel backend dispatch: Pallas fused path where eligible, XLA otherwise.
 
-``--kernels auto`` uses the Pallas fused multi-step kernel when the config
-matches its support envelope (pure-linear encoder/decoder, the sweep-scale
-shapes); ``--kernels pallas`` requires it (raising if unsupported);
+``--kernels auto`` tries the fused kernels in order: the linear kernel
+(pure-linear encoder/decoder on the linear_gaussian/sigmoid datasets) and
+then the MLP kernel (ReLU MLP stacks on sphere/linear_gaussian, hidden
+widths <= 512 after padding); batch <= 128 for both. ``--kernels pallas``
+requires one of them (raising with both reasons if unsupported);
 ``--kernels xla`` always uses the scan-based XLA path.
 """
 

@@ -42,8 +42,21 @@ from ..train.state import TrainState
 from ..train.step import StepFns, make_step_fns
 
 N = 128  # lane tile; all dims embedded into (N, N) / (8, N) buffers
-B1, B2, ADAM_EPS = 0.9, 0.999, 1e-8
+# Adam hyperparameters shared with the XLA path (see train/state.make_adam).
+from ..train.state import ADAM_B1 as B1, ADAM_B2 as B2, ADAM_EPS  # noqa: E402
+
 LOG_2PI = math.log(2.0 * math.pi)
+
+
+def chunk_seed_and_t0(state: "TrainState") -> jax.Array:
+    """(2,) int32 [PRNG seed, Adam step] for one fused chunk — derived from
+    the state's fold_in(step) key streams so resume stays bit-exact. The
+    SINGLE definition used by every kernel path (solo and grid)."""
+    k1 = jax.random.fold_in(state.data_key, state.step)
+    k2 = jax.random.fold_in(state.model_key, state.step)
+    seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
+    t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
+    return jnp.stack([seed, t0])
 
 # vec-buffer row layout: packed small parameters, one Adam update for all
 ROW_BE, ROW_BD, ROW_EP, ROW_EPS, ROW_BS = 0, 1, 2, 3, 4
@@ -134,10 +147,13 @@ def _make_kernel(
     if grid and external_noise:
         raise ValueError("grid mode has no external-noise test hook")
 
+    if batch > N:
+        raise ValueError(f"fused kernel supports batch <= {N}, got {batch}")
     inv_b = 1.0 / batch
-    # external-noise (test) blocks are full (N, N); production blocks only
-    # span the batch's 8-aligned row tile
-    rows = N if external_noise else row_tile(batch)
+    # activation/noise blocks span only the batch's 8-aligned row tile —
+    # in BOTH production and external-noise (test) modes, so the
+    # math-equivalence suite exercises the tiled path
+    rows = row_tile(batch)
 
     def kernel(seed_ref, *refs):
         if external_noise:
@@ -198,12 +214,16 @@ def _make_kernel(
                 else:
                     x = jnp.dot(n_int, a_t,
                                 preferred_element_type=jnp.float32)
-                    if var_added > 0.0:
-                        x = (x + _normal_block(rows) * dat_m
-                             * math.sqrt(var_added))
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                z2 = _normal_block(rows) * dat_m * row_m
+                if dataset_kind == "linear" and var_added > 0.0:
+                    # pair z2 with the observation noise: one transform
+                    z2_raw, var_raw = _normal_block_pair(rows)
+                    x = (x + var_raw * dat_m * row_m
+                         * math.sqrt(var_added))
+                    z2 = z2_raw * dat_m * row_m
+                else:
+                    z2 = _normal_block(rows) * dat_m * row_m
 
             be = vec[ROW_BE:ROW_BE + 1, :]
             bd = vec[ROW_BD:ROW_BD + 1, :]
@@ -586,11 +606,7 @@ def _shared_chunk_fn(batch, data_dim, latent_dim, intrinsic_dim, var_added,
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
     def train_chunk(a_t, state: TrainState, n_steps: int):
-        k1 = jax.random.fold_in(state.data_key, state.step)
-        k2 = jax.random.fold_in(state.model_key, state.step)
-        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
-        seed_and_t0 = jnp.stack([seed, t0])
+        seed_and_t0 = chunk_seed_and_t0(state)
         buffers = pack_state(state, data_dim, latent_dim, tdv, dual=dual)
         new_buffers, losses = run_fused_chunk(
             n_steps=n_steps,

@@ -37,6 +37,7 @@ from ..train.state import TrainState
 from ..train.step import StepFns, make_step_fns
 from .linear_vae import (
     LOG_2PI,
+    chunk_seed_and_t0,
     _adam,
     _adam_state,
     _col_mask,
@@ -81,12 +82,14 @@ def _make_kernel(
 ):
     if grid and external_noise:
         raise ValueError("grid mode has no external-noise test hook")
+    if batch > LANE:
+        raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
     n_enc, n_dec = len(enc_dims), len(dec_dims)
     n_w = n_enc + n_dec
     inv_b = 1.0 / batch
-    # activations span only the batch's 8-aligned row tile (tests use full
-    # blocks via external noise)
-    rows = LANE if external_noise else row_tile(batch)
+    # activation/noise blocks span only the batch's 8-aligned row tile (in
+    # test mode too, so the equivalence suite exercises the tiled path)
+    rows = row_tile(batch)
 
     def kernel(seed_ref, *refs):
         # ref layout: a_t, Ws(n_w), bs(n_w), vec, mWs, mbs, mvec, vWs, vbs,
@@ -193,12 +196,16 @@ def _make_kernel(
                 else:
                     n_int = n_raw * int_m
                     x = dotf(n_int, a_t)
-                    if var_added > 0.0:
-                        x = (x + _normal_block(rows) * dat_m
-                             * math.sqrt(var_added))
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                z2 = _normal_block(rows) * dat_m * row_m
+                if dataset_kind == "linear" and var_added > 0.0:
+                    # pair z2 with the observation noise: one transform
+                    z2_raw, var_raw = _normal_block_pair(rows)
+                    x = (x + var_raw * dat_m * row_m
+                         * math.sqrt(var_added))
+                    z2 = z2_raw * dat_m * row_m
+                else:
+                    z2 = _normal_block(rows) * dat_m * row_m
 
             be_w = [w for w in ws[:n_enc]]
             be_b = [b for b in bs[:n_enc]]
@@ -506,7 +513,7 @@ def mlp_pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
         return False, "MLP kernel supports sphere and linear_gaussian"
     if model.dual_sigmoid_decoder:
         return False, "dual decoder not supported by the MLP kernel"
-    if len(model.encoder_features) < 2:
+    if len(model.encoder_features) < 2 and len(model.decoder_features) < 2:
         return False, "pure-linear configs use the linear kernel"
     if cfg.batch_size > LANE:
         return False, f"batch_size must be <= {LANE}"
@@ -530,14 +537,10 @@ def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
     def train_chunk(a_t, state: TrainState, n_steps: int):
-        k1 = jax.random.fold_in(state.data_key, state.step)
-        k2 = jax.random.fold_in(state.model_key, state.step)
-        seed = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-        t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
         packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
         new_packed, losses = run_mlp_fused_chunk(
             n_steps=n_steps,
-            seed_and_t0=jnp.stack([seed, t0]),
+            seed_and_t0=chunk_seed_and_t0(state),
             a_t=a_t,
             packed=packed,
             batch=batch,

@@ -34,7 +34,7 @@ from ..runio.checkpoint import save_checkpoint
 from ..runio.export import save_model_pkl
 from ..runio.outdir import make_output_dir
 from .loop import EVAL_BATCH_SIZE, N_PLOT, N_PRINT
-from .state import TrainState
+from .state import TrainState, make_adam
 from .step import sample_z, split_z
 
 
@@ -83,7 +83,7 @@ class GridTrainer:
             tunable_decoder_var=cfg.tunable_decoder_var,
             dataset_name=cfg.dataset,
         )
-        self.tx = optax.adam(cfg.learning_rate)
+        self.tx = make_adam(cfg.learning_rate)  # shared with kernels
         self.dataset_grid = stack_pytrees(self.datasets)
 
         states = []
@@ -197,8 +197,8 @@ class GridTrainer:
         when the config isn't in the fused kernel's envelope."""
         from ..kernels.linear_vae import (
             N,
-            _adam_state,
             _pack_mat,
+            chunk_seed_and_t0,
             pack_state,
             pallas_supported,
             run_fused_chunk,
@@ -231,14 +231,7 @@ class GridTrainer:
         def train_chunk(dataset_grid, state_grid, n_steps: int):
             del dataset_grid  # manifolds baked into the stacked a_t
 
-            def seed_of(state):
-                k1 = jax.random.fold_in(state.data_key, state.step)
-                k2 = jax.random.fold_in(state.model_key, state.step)
-                s = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-                t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
-                return jnp.stack([s, t0])
-
-            seeds = jax.vmap(seed_of)(state_grid)
+            seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
             buffers = jax.vmap(
                 lambda st: pack_state(st, data_dim, latent_dim, tdv, dual=dual)
             )(state_grid)
@@ -261,7 +254,7 @@ class GridTrainer:
     def _build_mlp_pallas_grid_chunk(self):
         """Grid mode of the fused MLP kernel (sphere/linear MLP configs)."""
         from ..data.synthetic import SphereDataset
-        from ..kernels.linear_vae import _adam_state, _pack_mat
+        from ..kernels.linear_vae import _pack_mat, chunk_seed_and_t0
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -296,14 +289,7 @@ class GridTrainer:
         def train_chunk(dataset_grid, state_grid, n_steps: int):
             del dataset_grid
 
-            def seed_of(state):
-                k1 = jax.random.fold_in(state.data_key, state.step)
-                k2 = jax.random.fold_in(state.model_key, state.step)
-                s = ((k1[1] ^ k2[1]) >> jnp.uint32(1)).astype(jnp.int32)
-                t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
-                return jnp.stack([s, t0])
-
-            seeds = jax.vmap(seed_of)(state_grid)
+            seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
             packed = jax.vmap(
                 lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv)
             )(state_grid)

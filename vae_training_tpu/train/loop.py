@@ -41,7 +41,7 @@ from ..runio.checkpoint import (
 )
 from ..runio.export import load_model_pkl, save_model_pkl
 from ..utils.trees import correlation_ratio
-from .state import TrainState
+from .state import TrainState, make_adam
 from .step import make_step_fns, sample_z, split_z
 
 N_PLOT = 50000
@@ -122,8 +122,10 @@ class Trainer:
             )
 
         # Adam with the reference's defaults (flax.optim.Adam: b1=0.9,
-        # b2=0.999, eps=1e-8 — /root/reference/vae.py:113).
-        self.tx = optax.adam(cfg.learning_rate)
+        # b2=0.999, eps=1e-8 — /root/reference/vae.py:113). make_adam is the
+        # single source of truth shared with the fused kernels' in-kernel
+        # optimizer — do not construct the optimizer any other way.
+        self.tx = make_adam(cfg.learning_rate)
 
         z_base_key, self.key = jax.random.split(self.key)
         data_root = jax.random.PRNGKey(cfg.dataset_seed)

@@ -15,6 +15,18 @@ import jax
 import optax
 from flax import struct
 
+# The framework's Adam hyperparameters (reference flax.optim.Adam defaults —
+# /root/reference/vae.py:113). Single source of truth: the Pallas kernels
+# implement Adam with THESE constants, so optimizer construction must go
+# through make_adam() to keep kernel and XLA paths in sync.
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
+def make_adam(learning_rate: float) -> optax.GradientTransformation:
+    return optax.adam(learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+
 
 class TrainState(struct.PyTreeNode):
     params: Any
