@@ -144,6 +144,50 @@ def test_make_output_dir_reuse_existing(tmp_outdir):
     assert out2 == out and os.path.exists(marker)
 
 
+def test_mixed_backends_restore_newest(tmp_outdir):
+    """A newer orbax sync save must win over an older msgpack async save
+    (and vice versa): restore follows the meta's backend, and the
+    step-ordering guard holds across backends."""
+    from vae_training_tpu.runio.checkpoint import (
+        save_checkpoint_async,
+        save_checkpoint_orbax,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "mix")
+    old_state = jax.device_get(trainer.state)  # step 0 snapshot
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 20)
+    # async msgpack save at step 20 (simulating --checkpoint_every) ...
+    save_checkpoint_async(out, trainer.state, backend="msgpack").result()
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 20)
+    # ... then a newer orbax sync save at step 40 (--ckpt_backend orbax)
+    save_checkpoint_orbax(out, trainer.state)
+    # a stale queued msgpack write must be refused across backends
+    save_checkpoint(out, old_state)
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 40
+    assert tree_equal(restored.params, jax.device_get(trainer.state.params))
+    # and a stale queued ORBAX write must be refused too
+    save_checkpoint_orbax(out, old_state)
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 40
+
+
+def test_async_save_honors_backend(tmp_outdir):
+    """save_checkpoint_async(backend='orbax') writes orbax, not msgpack."""
+    from vae_training_tpu.runio.checkpoint import (
+        ORBAX_NAME,
+        save_checkpoint_async,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "asyb")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    save_checkpoint_async(out, trainer.state, backend="orbax").result()
+    assert os.path.exists(os.path.join(out, ORBAX_NAME))
+    assert not os.path.exists(os.path.join(out, "ckpt.msgpack"))
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 10
+
+
 def test_orbax_backend_roundtrip(tmp_outdir):
     """--ckpt_backend orbax: save via orbax, --resume auto-detects it."""
     from vae_training_tpu.runio.checkpoint import (

@@ -38,9 +38,17 @@ def _executor():
     return _async_executor
 
 
+def _read_meta(dirname: str) -> Optional[dict]:
+    try:
+        with open(os.path.join(dirname, META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> str:
     payload = serialization.to_bytes(jax.device_get(state))
-    meta = {"step": int(state.step)}
+    meta = {"step": int(state.step), "backend": "msgpack"}
     if extra_meta:
         meta.update(extra_meta)
     path = os.path.join(dirname, CKPT_NAME)
@@ -52,13 +60,11 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> s
     suffix = f".tmp.{os.getpid()}.{__import__('threading').get_ident()}"
     with _write_lock:
         # Never replace a newer checkpoint with an older one (a queued async
-        # save can run after a later sync save).
-        try:
-            with open(meta_path) as f:
-                if json.load(f).get("step", -1) > meta["step"]:
-                    return path
-        except (OSError, ValueError):
-            pass
+        # save can run after a later sync save — possibly via the OTHER
+        # backend; the shared meta file is the ordering authority).
+        prev = _read_meta(dirname)
+        if prev is not None and prev.get("step", -1) > meta["step"]:
+            return path
         tmp = path + suffix
         with open(tmp, "wb") as f:
             f.write(payload)
@@ -70,22 +76,36 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> s
     return path
 
 
-def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None):
+def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None,
+                          backend: str = "msgpack"):
     """Non-blocking checkpoint: snapshot to host now, serialize + write on a
     background thread so training never stalls on disk I/O. Returns a
     future; writes are serialized on one worker so checkpoints never
-    interleave."""
+    interleave. ``backend`` matches --ckpt_backend so async (off-cadence)
+    and sync (plot-cadence) saves land in the same format."""
     snapshot = jax.device_get(state)
-    return _executor().submit(save_checkpoint, dirname, snapshot, extra_meta)
+    saver = save_checkpoint_orbax if backend == "orbax" else save_checkpoint
+    return _executor().submit(saver, dirname, snapshot, extra_meta)
 
 
 def restore_checkpoint(dirname: str, state_template):
-    path = os.path.join(dirname, CKPT_NAME)
-    if not os.path.exists(path) and os.path.exists(
-        os.path.join(dirname, ORBAX_NAME)
-    ):
+    """Restore the NEWEST checkpoint in ``dirname``.
+
+    Both backends write the shared ``ckpt_meta.json`` under the step-ordering
+    guard, so its ``backend`` field always names the artifact holding the
+    newest state — honor it rather than preferring one format (a stale
+    msgpack async save must not shadow a newer orbax sync save)."""
+    meta = _read_meta(dirname)
+    msgpack_path = os.path.join(dirname, CKPT_NAME)
+    orbax_path = os.path.join(dirname, ORBAX_NAME)
+    backend = (meta or {}).get("backend")
+    if backend == "orbax" and os.path.exists(orbax_path):
         return restore_checkpoint_orbax(dirname, state_template)
-    with open(path, "rb") as f:
+    if backend == "msgpack" and os.path.exists(msgpack_path):
+        pass  # fall through to the msgpack read below
+    elif not os.path.exists(msgpack_path) and os.path.exists(orbax_path):
+        return restore_checkpoint_orbax(dirname, state_template)
+    with open(msgpack_path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(state_template, data)
 
@@ -114,6 +134,11 @@ def save_checkpoint_orbax(dirname: str, state,
     import shutil
 
     with _write_lock:
+        # Same step-ordering guard as the msgpack saver: a queued async save
+        # (either backend) must never shadow a newer checkpoint.
+        prev = _read_meta(dirname)
+        if prev is not None and prev.get("step", -1) > int(state.step):
+            return path
         if os.path.exists(tmp_path):
             shutil.rmtree(tmp_path)
         ckptr = ocp.StandardCheckpointer()

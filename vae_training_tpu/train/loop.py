@@ -476,6 +476,7 @@ class Trainer:
                     self.dirname, self.state,
                     extra_meta={"current_epsilon": float(
                         np.asarray(self.current_epsilon).reshape(-1)[0])},
+                    backend=getattr(self.cfg, "ckpt_backend", "msgpack"),
                 )
             b += n
             if progress is not None:
