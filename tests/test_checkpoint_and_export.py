@@ -130,6 +130,70 @@ def test_checkpoint_never_replaced_by_older(tmp_outdir):
     assert int(restored.step) == 20  # newer checkpoint survived
 
 
+def test_resume_artifacts_equal_uninterrupted(tmp_outdir):
+    """A preempted + resumed run must emit a losses.npz IDENTICAL to an
+    uninterrupted run's: checkpoints carry the full host-side run state
+    (StatsRecorder history, eval-key counter, host key chain), not just the
+    TrainState (ref artifact contract: /root/reference/model.py:246-252)."""
+    from vae_training_tpu.runio.checkpoint import wait_for_pending_saves
+
+    def drive(trainer):
+        trainer.n_print = 100
+        trainer.n_plot = 200
+        trainer.train()
+        trainer.plot()
+        trainer.save(final=True)
+
+    # Uninterrupted run: 400 steps straight through.
+    straight, out_a, _ = build(tmp_outdir, "full", num_batches=400)
+    drive(straight)
+
+    # Preempted run: the --checkpoint_every async save lands at step 200
+    # (between chunks, BEFORE that step's events), then the process dies
+    # mid-event at step 200 — the eval it just appended is post-snapshot
+    # and must be replayed by the resume.
+    pre, out_b, cfg_b = build(tmp_outdir, "pre", num_batches=400,
+                              checkpoint_every=150)
+    pre.n_print = 100
+    pre.n_plot = 200
+    orig_plot = pre.plot_epoch
+
+    def dying_plot():
+        if pre.batchnum == 200:
+            raise KeyboardInterrupt
+        orig_plot()
+
+    pre.plot_epoch = dying_plot
+    import pytest as _pytest
+    with _pytest.raises(KeyboardInterrupt):
+        pre.train()
+    wait_for_pending_saves()
+    import json
+    meta = json.load(open(os.path.join(out_b, "ckpt_meta.json")))
+    assert meta["step"] == 200  # the --checkpoint_every async save landed
+
+    # Resume INTO THE SAME output dir (what a restarted job does) and finish.
+    cfg_b.resume = out_b
+    from vae_training_tpu.data import get_dataset as _get_dataset
+    ds = _get_dataset(cfg_b.dataset, cfg_b.dataset_seed, cfg_b)
+    resumed = Trainer(cfg_b, ds, out_b)
+    assert int(resumed.state.step) == 200
+    drive(resumed)
+
+    za = np.load(os.path.join(out_a, "losses.npz"), allow_pickle=True)
+    zb = np.load(os.path.join(out_b, "losses.npz"), allow_pickle=True)
+    assert set(za.files) == set(zb.files)
+    for k in za.files:
+        np.testing.assert_array_equal(np.asarray(za[k], dtype=np.float64),
+                                      np.asarray(zb[k], dtype=np.float64),
+                                      err_msg=k)
+    # and the final model artifacts agree bit for bit
+    ra = restore_checkpoint(out_a, jax.device_get(straight.state))
+    rb = restore_checkpoint(out_b, jax.device_get(straight.state))
+    assert tree_equal(ra.params, rb.params)
+    assert int(ra.step) == int(rb.step) == 400
+
+
 def test_make_output_dir_reuse_existing(tmp_outdir):
     from vae_training_tpu.config import RunConfig
     from vae_training_tpu.runio import make_output_dir

@@ -20,6 +20,7 @@ from flax import serialization
 
 CKPT_NAME = "ckpt.msgpack"
 META_NAME = "ckpt_meta.json"
+AUX_NAME = "ckpt_aux.pkl"
 
 _async_executor = None
 # One writer at a time per process: the plot-cadence sync save and the
@@ -46,7 +47,35 @@ def _read_meta(dirname: str) -> Optional[dict]:
         return None
 
 
-def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> str:
+def _write_aux(dirname: str, aux, suffix: str) -> None:
+    """Pickle the host-side run state (StatsRecorder history, eval-key
+    counter, host key chain) next to the device checkpoint, atomically.
+    This is what makes a preempted+resumed run's artifacts identical to an
+    uninterrupted run's — the TrainState alone only makes the TRAINING
+    stream bit-exact (ref artifact contract: /root/reference/model.py:246-252)."""
+    import pickle
+
+    aux_path = os.path.join(dirname, AUX_NAME)
+    tmp = aux_path + suffix
+    with open(tmp, "wb") as f:
+        pickle.dump(aux, f)
+    os.replace(tmp, aux_path)
+
+
+def restore_checkpoint_aux(dirname: str) -> Optional[dict]:
+    """Host-side run state saved alongside the checkpoint (None for
+    checkpoints written before aux existed)."""
+    import pickle
+
+    try:
+        with open(os.path.join(dirname, AUX_NAME), "rb") as f:
+            return pickle.load(f)
+    except OSError:
+        return None
+
+
+def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None,
+                    aux: Optional[dict] = None) -> str:
     payload = serialization.to_bytes(jax.device_get(state))
     meta = {"step": int(state.step), "backend": "msgpack"}
     if extra_meta:
@@ -69,6 +98,8 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> s
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+        if aux is not None:
+            _write_aux(dirname, aux, suffix)
         mtmp = meta_path + suffix
         with open(mtmp, "w") as f:
             json.dump(meta, f)
@@ -77,15 +108,22 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None) -> s
 
 
 def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None,
-                          backend: str = "msgpack"):
+                          backend: str = "msgpack", aux: Optional[dict] = None):
     """Non-blocking checkpoint: snapshot to host now, serialize + write on a
     background thread so training never stalls on disk I/O. Returns a
     future; writes are serialized on one worker so checkpoints never
     interleave. ``backend`` matches --ckpt_backend so async (off-cadence)
-    and sync (plot-cadence) saves land in the same format."""
+    and sync (plot-cadence) saves land in the same format. ``aux`` must
+    already be a stable host snapshot (the caller owns that)."""
     snapshot = jax.device_get(state)
     saver = save_checkpoint_orbax if backend == "orbax" else save_checkpoint
-    return _executor().submit(saver, dirname, snapshot, extra_meta)
+    return _executor().submit(saver, dirname, snapshot, extra_meta, aux)
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every queued async checkpoint write has landed (the
+    writer is a single-worker executor, so a barrier task suffices)."""
+    _executor().submit(lambda: None).result()
 
 
 def restore_checkpoint(dirname: str, state_template):
@@ -124,7 +162,8 @@ ORBAX_NAME = "orbax_ckpt"
 
 
 def save_checkpoint_orbax(dirname: str, state,
-                          extra_meta: Optional[dict] = None) -> str:
+                          extra_meta: Optional[dict] = None,
+                          aux: Optional[dict] = None) -> str:
     """Orbax StandardCheckpointer save — interoperable with standard JAX
     tooling (tensorstore-backed, sharding-aware)."""
     import orbax.checkpoint as ocp
@@ -147,6 +186,8 @@ def save_checkpoint_orbax(dirname: str, state,
         if os.path.exists(path):
             shutil.rmtree(path)
         os.replace(tmp_path, path)
+        if aux is not None:
+            _write_aux(dirname, aux, ".tmp")
         meta = {"step": int(state.step), "backend": "orbax"}
         if extra_meta:
             meta.update(extra_meta)

@@ -36,11 +36,12 @@ from ..models.warm_start import apply_warm_start
 from ..evals.stats import StatsRecorder
 from ..runio.checkpoint import (
     restore_checkpoint,
+    restore_checkpoint_aux,
     save_checkpoint,
     save_checkpoint_async,
 )
 from ..runio.export import load_model_pkl, save_model_pkl
-from ..utils.trees import correlation_ratio
+from ..utils.trees import correlation_ratio, correlation_ratio_per_param
 from .state import TrainState, make_adam
 from .step import make_step_fns, sample_z, split_z
 
@@ -156,6 +157,13 @@ class Trainer:
         self.current_epsilon = cfg.epsilon
         self.batchnum = 0
         self.params_and_gradients = []
+        # Resume bookkeeping: _resumed_with_aux ⇒ the host-side run state
+        # (recorder, eval counter, key chain) was restored, so start-of-run
+        # key consumers (the "Score for real data" banner / epoch-0 eval)
+        # must not fire again; _skip_events_at marks a step whose print/plot
+        # events already fired before the checkpoint was written.
+        self._resumed_with_aux = False
+        self._skip_events_at = -1
 
         # Resume paths: full checkpoint (--resume) or reference-layout
         # model.pkl (--state_dict, made real — SURVEY.md §3.5).
@@ -165,6 +173,17 @@ class Trainer:
                 # restored leaves are host arrays; re-shard onto the mesh
                 self.state = self.fns.place_state(self.state)
             self.batchnum = int(self.state.step)
+            aux = restore_checkpoint_aux(cfg.resume)
+            if aux is not None:
+                self.recorder = StatsRecorder.from_state(aux["recorder"])
+                self._eval_counter = int(aux["eval_counter"])
+                self.key = jnp.asarray(aux["host_key"])
+                self.epoch_num = int(aux.get("epoch_num", 0))
+                self.params_and_gradients = list(
+                    aux.get("params_and_gradients", []))
+                self._resumed_with_aux = True
+                if aux.get("events_fired_at_step", False):
+                    self._skip_events_at = self.batchnum
             # restore the learned decoder log-variance used for generation
             # (host-side state alongside the device TrainState)
             import json as _json
@@ -337,10 +356,12 @@ class Trainer:
             )
         return stats
 
-    def write_stats(self, stats: dict) -> None:
+    def write_stats(self, stats: dict, console_only: Optional[dict] = None) -> None:
         is_epochs = self.dataset.is_epochs
         num = self.epoch_num if is_epochs else self.batchnum
-        message = self.recorder.write_stats(num, stats, is_epochs=is_epochs)
+        message = self.recorder.write_stats(
+            num, stats, is_epochs=is_epochs, console_only=console_only
+        )
         print(message, flush=True)
 
     def plot_model_specific(self):
@@ -392,7 +413,10 @@ class Trainer:
         # fold_in(data_key, epoch), so no permutation is replayed).
         start_epoch = int(self.state.step) // n_batches
         self.batchnum = int(self.state.step)
-        self.write_stats(self.compute_stats())
+        if not self._resumed_with_aux:
+            # before-training eval (/root/reference/model.py:177-178); a
+            # full-state resume already has it in its restored history
+            self.write_stats(self.compute_stats())
         progress = None
         if self.cfg.tqdm:
             try:
@@ -416,14 +440,17 @@ class Trainer:
             self.save()
 
     def train_distribution(self) -> None:
-        eval_batch = self.dataset.sample(
-            self._next_eval_data_key(), self.eval_batch_size
-        )
-        if getattr(self.dataset, "score_on_host", False):
-            score = self.dataset.score_host(np.asarray(eval_batch))
-        else:
-            score = jax.device_get(self.fns.score(eval_batch))
-        print(f"Score for real data: {score}", flush=True)
+        if not self._resumed_with_aux:
+            # start-of-run banner (/root/reference/model.py:209-211); a run
+            # resumed with full host state already consumed this eval key
+            eval_batch = self.dataset.sample(
+                self._next_eval_data_key(), self.eval_batch_size
+            )
+            if getattr(self.dataset, "score_on_host", False):
+                score = self.dataset.score_host(np.asarray(eval_batch))
+            else:
+                score = jax.device_get(self.fns.score(eval_batch))
+            print(f"Score for real data: {score}", flush=True)
 
         total = self.cfg.num_batches
         progress = None
@@ -440,17 +467,19 @@ class Trainer:
         last_rate_steps, last_rate_time = b, time.perf_counter()
         while b < total:
             self.batchnum = b
-            if b % self.n_print == 0:
+            if b % self.n_print == 0 and b != self._skip_events_at:
                 stats = self.compute_stats()
+                console_only = None
                 now = time.perf_counter()
                 if b > last_rate_steps and now > last_rate_time:
                     # wall-clock training rate since the previous stat event
-                    stats["steps/sec"] = (b - last_rate_steps) / (
+                    # (console-only: non-deterministic, not an npz channel)
+                    console_only = {"steps/sec": (b - last_rate_steps) / (
                         now - last_rate_time
-                    )
+                    )}
                 last_rate_steps, last_rate_time = b, now
-                self.write_stats(stats)
-            if b % self.n_plot == 0 or b == total - 1:
+                self.write_stats(stats, console_only=console_only)
+            if (b % self.n_plot == 0 or b == total - 1) and b != self._skip_events_at:
                 self.plot_epoch()
                 self.save()
             n = self._next_event(b) - b
@@ -477,6 +506,9 @@ class Trainer:
                     extra_meta={"current_epsilon": float(
                         np.asarray(self.current_epsilon).reshape(-1)[0])},
                     backend=getattr(self.cfg, "ckpt_backend", "msgpack"),
+                    # async saves land between chunks — events at this step
+                    # have NOT fired yet; a resume must fire them
+                    aux=self._snapshot_aux(events_fired_at_step=False),
                 )
             b += n
             if progress is not None:
@@ -486,12 +518,39 @@ class Trainer:
             progress.close()
 
     # ------------------------------------------------------------------
+    def _snapshot_aux(self, events_fired_at_step: bool) -> dict:
+        """Host snapshot of everything a bit-exact resume needs beyond the
+        TrainState: the stat history (→ identical losses.npz), the eval-key
+        counter and host key chain (→ identical eval random streams), and
+        whether this step's print/plot events already ran (sync saves fire
+        after the events; async --checkpoint_every saves fire between
+        chunks, before them)."""
+        return {
+            "recorder": self.recorder.to_state(),
+            "eval_counter": self._eval_counter,
+            "host_key": np.asarray(self.key),
+            "epoch_num": self.epoch_num if hasattr(self, "epoch_num") else 0,
+            "params_and_gradients": list(self.params_and_gradients),
+            "events_fired_at_step": events_fired_at_step,
+        }
+
     def model_save_data(self, final: bool = False) -> None:
         if final and self.params_and_gradients:
+            # Both granularities of the reference's landscape diagnostic
+            # (/root/reference/vae.py:143-179): the whole-tree ratio (its
+            # accumulated return value) and one ratio per parameter leaf
+            # (its per-leaf displacement/inner-product structure).
             self.recorder.correlation_ratios = [
                 float(correlation_ratio(self.state.params, p, g))
                 for p, g in self.params_and_gradients
             ]
+            per_param: dict = {}
+            for p, g in self.params_and_gradients:
+                for path, r in correlation_ratio_per_param(
+                    self.state.params, p, g
+                ).items():
+                    per_param.setdefault(path, []).append(float(r))
+            self.recorder.correlation_ratios_per_param = per_param
 
     def save(self, final: bool = False) -> None:
         self.model_save_data(final=final)
@@ -512,6 +571,13 @@ class Trainer:
                     np.asarray(self.current_epsilon).reshape(-1)[0]
                 )
             },
+            # In-loop sync saves run inside the event block AFTER this
+            # step's print/plot events (batchnum == state.step there); the
+            # end-of-run save happens after the loop (batchnum == total-1,
+            # step == total) where no events at `step` have fired.
+            aux=self._snapshot_aux(
+                events_fired_at_step=(self.batchnum == int(self.state.step))
+            ),
         )
         self.dataset.save(os.path.join(self.dirname, "dataset.pk"))
 
