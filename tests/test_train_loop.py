@@ -124,3 +124,37 @@ def test_correlation_tracking(tmp_outdir):
     cr = z["Correlation Ratio"]
     assert cr.shape == (2,)  # evals at 0 and 100
     assert np.all(np.isfinite(cr))
+    # per-parameter granularity (/root/reference/vae.py:149-177): one
+    # channel per param leaf, one value per eval
+    per_param = [k for k in z.files if k.startswith("Correlation Ratio/")]
+    leaves = {"Correlation Ratio/Encoder/FC0/kernel",
+              "Correlation Ratio/Encoder/FC0/bias",
+              "Correlation Ratio/Decoder/FC0/kernel",
+              "Correlation Ratio/Decoder/FC0/bias",
+              "Correlation Ratio/epsilon_p",
+              "Correlation Ratio/epsilon"}
+    assert set(per_param) == leaves
+    for k in per_param:
+        assert z[k].shape == (2,)
+
+
+def test_correlation_ratio_per_param_hand_computed():
+    """Two-parameter example checked by hand: each leaf's ratio is its own
+    -<g, d>/||d||^2, and the whole-tree ratio pools numerators/denominators."""
+    from vae_training_tpu.utils import (
+        correlation_ratio,
+        correlation_ratio_per_param,
+    )
+
+    params = {"a": np.array([1.0, 2.0]), "b": np.array([[3.0]])}
+    opt = {"a": np.array([2.0, 4.0]), "b": np.array([[2.0]])}
+    grads = {"a": np.array([0.5, -1.0]), "b": np.array([[4.0]])}
+    # d_a = [1, 2], <g_a, d_a> = 0.5 - 2 = -1.5, ||d_a||^2 = 5 → ratio 0.3
+    # d_b = [-1],   <g_b, d_b> = -4,             ||d_b||^2 = 1 → ratio 4.0
+    per = correlation_ratio_per_param(opt, params, grads)
+    np.testing.assert_allclose(float(per["a"]), 0.3, rtol=1e-6)
+    np.testing.assert_allclose(float(per["b"]), 4.0, rtol=1e-6)
+    # pooled: -(-1.5 + -4) / (5 + 1) = 5.5/6
+    np.testing.assert_allclose(
+        float(correlation_ratio(opt, params, grads)), 5.5 / 6, rtol=1e-6
+    )
