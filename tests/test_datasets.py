@@ -91,6 +91,16 @@ def test_sigmoid_structure_and_score():
     # (/root/reference/datasets.py:255-261).
     assert float(score["Squared Norm of Padding Dimensions"]) == 0.0
     assert float(score["Squared Norm of Manifold Dimension"]) > 0.0
+    # Second published quirk preserved: the reference subtracts an (n,1)
+    # codomain from an (n,) codomain_hat, broadcasting to an (n,n) matrix
+    # of all cross pairs before the mean (/root/reference/datasets.py:256-258).
+    # Our closed form must equal the literal broadcast.
+    c_hat = np.asarray(batch[:, 3])
+    c = np.asarray(batch[:, :3] @ ds.A)  # (n, 1)
+    literal = float(np.mean(np.square(c_hat - c)))  # (n,) - (n,1) → (n,n)
+    np.testing.assert_allclose(
+        float(score["Squared Norm of Manifold Dimension"]), literal, rtol=1e-5
+    )
 
 
 def test_gaussian_dataset_score_keys():

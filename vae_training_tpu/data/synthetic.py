@@ -215,12 +215,23 @@ class SigmoidDataset(DistributionDataset):
         return pad_with_zeros(out, self.padding_dim)
 
     def score(self, batch: jax.Array) -> Dict[str, jax.Array]:
-        # NOTE: the reference compares the σ-coordinate against the
-        # *pre-sigmoid* logit z·A — this is the published metric and is
-        # reproduced as-is (/root/reference/datasets.py:255-261).
+        # NOTE (published-metric quirks, reproduced as-is from
+        # /root/reference/datasets.py:255-261):
+        #   1. the σ-coordinate is compared against the *pre-sigmoid* logit
+        #      z·A, not σ(z·A);
+        #   2. ``codomain_hat`` is (n,) and ``codomain`` is (n,1), so the
+        #      subtraction BROADCASTS to an (n,n) matrix of all cross pairs —
+        #      the mean is ≈ Var(ĉ)+Var(c)+(E[ĉ]−E[c])², nonzero even for a
+        #      perfect model. Computed here in the algebraically identical
+        #      closed form (no n×n intermediate):
+        #      mean(ĉ²) − 2·mean(ĉ)·mean(c) + mean(c²).
         codomain_hat = batch[:, self.dim]
         codomain = (batch[:, : self.dim] @ self.A)[:, 0]
-        manifold_error = jnp.mean(jnp.square(codomain_hat - codomain))
+        manifold_error = (
+            jnp.mean(jnp.square(codomain_hat))
+            - 2.0 * jnp.mean(codomain_hat) * jnp.mean(codomain)
+            + jnp.mean(jnp.square(codomain))
+        )
         padding = batch[:, self.dim + 1 :]
         return {
             "Squared Norm of Padding Dimensions": padding_energy(padding),
