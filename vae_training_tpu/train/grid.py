@@ -8,8 +8,13 @@ TrainStates are stacked along a leading grid axis, and XLA batches the tiny
 per-seed matmuls into one wide program that actually fills the MXU. This is
 BASELINE.json config 4 ("Batched multi-seed × latent-dim grid via vmap").
 
-Everything per-seed stays bit-identical to a solo run of the XLA path with
-the same keys: the grid axis only changes batching, not math.
+Given identical TrainStates, each grid row computes exactly what a solo XLA
+run computes: the grid axis only changes batching, not math (verified by
+tests/test_grid.py). Note the INITIALIZATION key derivation differs from the
+solo Trainer by design — grid rows derive per-seed keys via
+``fold_in(PRNGKey(model_seed), seed)`` so every row gets an independent
+stream from one launch, while a solo run splits ``PRNGKey(model_seed)``
+sequentially — so a same-flags solo run starts from different init draws.
 """
 
 from __future__ import annotations
@@ -168,13 +173,19 @@ class GridTrainer:
             if fused is not None:
                 # runtime fallback: a config can exceed the kernel's VMEM
                 # envelope only at compile time — fall back to the vmapped
-                # XLA chunk instead of failing the run
+                # XLA chunk instead of failing the run. The fused chunk
+                # DONATES state_grid, so the untried first attempt keeps a
+                # host backup to re-materialize from if the failure lands
+                # after donation (deleted buffers would poison the retry).
                 vmapped = train_chunk
                 tried = {"ok": None}
 
                 def chunk_with_fallback(dataset_grid, state_grid, n_steps):
                     if tried["ok"] is False:
                         return vmapped(dataset_grid, state_grid, n_steps)
+                    backup = None
+                    if tried["ok"] is None:
+                        backup = jax.device_get(state_grid)
                     try:
                         out = fused(dataset_grid, state_grid, n_steps)
                         tried["ok"] = True
@@ -186,6 +197,7 @@ class GridTrainer:
                               f"({type(e).__name__}); using vmapped XLA",
                               flush=True)
                         tried["ok"] = False
+                        state_grid = jax.device_put(backup)
                         return vmapped(dataset_grid, state_grid, n_steps)
 
                 self._train_chunk = chunk_with_fallback
