@@ -1,0 +1,236 @@
+"""Grid-mode fused kernels pinned to the solo kernels (and transitively to
+the XLA/optax path): the multi-seed launch must be a pure batching of the
+solo math.
+
+Interpret mode on CPU with EXTERNAL noise (the same hook the solo
+equivalence suites use). Covers:
+  - grid_n=1 reproduces the solo kernel BITWISE for identical inputs;
+  - each row of a grid_n=3 launch matches an identically-seeded solo run
+    bitwise (rows are independent);
+for both the linear/sigmoid kernel and the MLP kernel. Since the solo
+kernels are pinned to jax.grad+optax (tests/test_pallas_kernel.py,
+tests/test_mlp_kernel.py), this transitively pins the headline grid path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import test_mlp_kernel as mlp_t
+import test_pallas_kernel as lin_t
+from vae_training_tpu.kernels.linear_vae import (
+    N,
+    pack_state,
+    run_fused_chunk,
+    unpack_state,
+)
+from vae_training_tpu.kernels.mlp_vae import (
+    LANE,
+    _layer_dims,
+    pack_mlp_state,
+    run_mlp_fused_chunk,
+    unpack_mlp_state,
+)
+
+N_STEPS = 4
+
+
+def stack(xs):
+    return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
+
+
+def assert_trees_equal(a, b, msg=""):
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(b)}
+    for path, val in jax.tree_util.tree_leaves_with_path(a):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(
+            np.asarray(val), np.asarray(flat_b[key]), err_msg=f"{msg}{key}")
+
+
+# ---------------------------------------------------------------------------
+# linear / sigmoid kernel
+# ---------------------------------------------------------------------------
+
+
+def _linear_solo(dataset, state, noise_padded, tdv, dual):
+    buffers = pack_state(state, dataset.dimension, lin_t.LATENT, tdv, dual=dual)
+    new_buffers, losses = run_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=jnp.array([123, 0], jnp.int32),
+        a_t=jnp.zeros((N, N), jnp.float32), buffers=buffers,
+        batch=lin_t.BATCH, data_dim=dataset.dimension,
+        latent_dim=lin_t.LATENT, intrinsic_dim=lin_t.INTRINSIC,
+        var_added=0.0, eps_const=-1.0, tdv=tdv, lr=1e-3, dual=dual,
+        external_noise=noise_padded, interpret=True,
+    )
+    kstate = unpack_state(state, new_buffers, N_STEPS, dataset.dimension,
+                          lin_t.LATENT, tdv, dual=dual)
+    return new_buffers, np.asarray(losses), kstate
+
+
+def _linear_grid(dataset_dims, states, noises, tdv, dual, grid_n):
+    """All rows share the same static dims (one model config, many seeds)."""
+    data_dim = dataset_dims
+    buffers = stack([
+        pack_state(st, data_dim, lin_t.LATENT, tdv, dual=dual) for st in states
+    ])
+    seeds = jnp.tile(jnp.array([[123, 0]], jnp.int32), (grid_n, 1))
+    a_t = jnp.zeros((grid_n, N, N), jnp.float32)
+    noise_g = tuple(jnp.stack([n[j] for n in noises])
+                    for j in range(3))  # (grid_n, n_steps, rows, N) each
+    new_buffers, losses = run_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=seeds, a_t=a_t, buffers=buffers,
+        batch=lin_t.BATCH, data_dim=data_dim, latent_dim=lin_t.LATENT,
+        intrinsic_dim=lin_t.INTRINSIC, var_added=0.0, eps_const=-1.0,
+        tdv=tdv, lr=1e-3, dual=dual, external_noise=noise_g,
+        interpret=True, grid_n=grid_n,
+    )
+    return new_buffers, np.asarray(losses)
+
+
+@pytest.mark.parametrize("kind,tdv", [
+    ("linear", True), ("linear", False), ("sigmoid", True),
+])
+def test_linear_grid1_bitwise_equals_solo(kind, tdv):
+    dual = kind == "sigmoid"
+    dataset, model, tx, state = lin_t.setup(kind=kind, tdv=tdv)
+    xs, z1s, z2s = lin_t.sample_noise(dataset, N_STEPS)
+    noise = lin_t.pad_noise(xs, z1s, z2s, N_STEPS)
+
+    solo_buffers, solo_losses, _ = _linear_solo(dataset, state, noise, tdv, dual)
+    grid_buffers, grid_losses = _linear_grid(
+        dataset.dimension, [state], [noise], tdv, dual, grid_n=1)
+
+    np.testing.assert_array_equal(grid_losses[0], solo_losses)
+    for j, (gb, sb) in enumerate(zip(grid_buffers, solo_buffers)):
+        np.testing.assert_array_equal(np.asarray(gb[0]), np.asarray(sb),
+                                      err_msg=f"buffer {j}")
+
+
+@pytest.mark.parametrize("kind", ["linear", "sigmoid"])
+def test_linear_grid3_rows_match_independent_solo_runs(kind):
+    """Row i of a 3-seed grid launch == a solo run fed row i's inputs."""
+    tdv, dual = True, kind == "sigmoid"
+    states, noises, datasets = [], [], []
+    for row_seed in range(3):
+        dataset, model, tx, state = lin_t.setup(kind=kind, tdv=tdv)
+        # distinct per-row params: perturb init deterministically
+        state = state.replace(params=jax.tree_util.tree_map(
+            lambda p: p + 0.01 * (row_seed + 1), state.params))
+        xs, z1s, z2s = lin_t.sample_noise(dataset, N_STEPS, seed=10 + row_seed)
+        datasets.append(dataset)
+        states.append(state)
+        noises.append(lin_t.pad_noise(xs, z1s, z2s, N_STEPS))
+
+    grid_buffers, grid_losses = _linear_grid(
+        datasets[0].dimension, states, noises, tdv, dual, grid_n=3)
+    for i in range(3):
+        solo_buffers, solo_losses, _ = _linear_solo(
+            datasets[i], states[i], noises[i], tdv, dual)
+        np.testing.assert_array_equal(grid_losses[i], solo_losses,
+                                      err_msg=f"row {i} losses")
+        for j, sb in enumerate(solo_buffers):
+            np.testing.assert_array_equal(
+                np.asarray(grid_buffers[j][i]), np.asarray(sb),
+                err_msg=f"row {i} buffer {j}")
+
+
+# ---------------------------------------------------------------------------
+# MLP kernel
+# ---------------------------------------------------------------------------
+
+
+def _mlp_solo(dataset, model, state, noise_padded, tdv):
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, mlp_t.LATENT)
+    packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+    new_packed, losses = run_mlp_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32), packed=packed,
+        batch=mlp_t.BATCH, data_dim=D, latent_dim=mlp_t.LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",
+        intrinsic_dim=dataset.dim, var_added=0.0, eps_const=-3.0,
+        tdv=tdv, lr=1e-3, external_noise=noise_padded, interpret=True,
+    )
+    return new_packed, np.asarray(losses)
+
+
+def _flatten_packed(packed):
+    (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
+    return [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
+
+
+def test_mlp_grid_rows_match_independent_solo_runs():
+    tdv = True
+    dataset, model, tx, base_state = mlp_t.setup(tdv=tdv)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, mlp_t.LATENT)
+
+    states, noises = [], []
+    for row_seed in range(3):
+        state = base_state.replace(params=jax.tree_util.tree_map(
+            lambda p: p + 0.01 * (row_seed + 1), base_state.params))
+        xs, z1s, z2s = mlp_t.sphere_noise(dataset, N_STEPS, seed=20 + row_seed)
+        states.append(state)
+        noises.append(mlp_t.pad_noise(xs, z1s, z2s, N_STEPS))
+
+    packed_g = stack([
+        pack_mlp_state(st, enc_dims, dec_dims, tdv) for st in states
+    ])
+    seeds = jnp.tile(jnp.array([[7, 0]], jnp.int32), (3, 1))
+    noise_g = tuple(jnp.stack([n[j] for n in noises]) for j in range(3))
+    new_packed_g, losses_g = run_mlp_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=seeds,
+        a_t=jnp.zeros((3, LANE, LANE), jnp.float32), packed=packed_g,
+        batch=mlp_t.BATCH, data_dim=D, latent_dim=mlp_t.LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",
+        intrinsic_dim=dataset.dim, var_added=0.0, eps_const=-3.0,
+        tdv=tdv, lr=1e-3, external_noise=noise_g, interpret=True, grid_n=3,
+    )
+    losses_g = np.asarray(losses_g)
+    for i in range(3):
+        solo_packed, solo_losses = _mlp_solo(
+            dataset, model, states[i], noises[i], tdv)
+        np.testing.assert_array_equal(losses_g[i], solo_losses,
+                                      err_msg=f"row {i} losses")
+        flat_g = _flatten_packed(new_packed_g)
+        flat_s = _flatten_packed(solo_packed)
+        for j, (gb, sb) in enumerate(zip(flat_g, flat_s)):
+            np.testing.assert_array_equal(
+                np.asarray(gb[i]), np.asarray(sb),
+                err_msg=f"row {i} buffer {j}")
+
+
+def test_mlp_grid1_unpack_matches_solo_state():
+    """grid_n=1 end-to-end through pack → kernel → unpack equals solo."""
+    tdv = False
+    dataset, model, tx, state = mlp_t.setup(tdv=tdv)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, mlp_t.LATENT)
+    xs, z1s, z2s = mlp_t.sphere_noise(dataset, N_STEPS, seed=5)
+    noise = mlp_t.pad_noise(xs, z1s, z2s, N_STEPS)
+
+    solo_packed, solo_losses = _mlp_solo(dataset, model, state, noise, tdv)
+    solo_state = unpack_mlp_state(state, solo_packed, N_STEPS, enc_dims,
+                                  dec_dims, tdv, mlp_t.LATENT)
+
+    packed_g = stack([pack_mlp_state(state, enc_dims, dec_dims, tdv)])
+    noise_g = tuple(n[None] for n in noise)
+    new_packed_g, losses_g = run_mlp_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=jnp.array([[7, 0]], jnp.int32),
+        a_t=jnp.zeros((1, LANE, LANE), jnp.float32), packed=packed_g,
+        batch=mlp_t.BATCH, data_dim=D, latent_dim=mlp_t.LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",
+        intrinsic_dim=dataset.dim, var_added=0.0, eps_const=-3.0,
+        tdv=tdv, lr=1e-3, external_noise=noise_g, interpret=True, grid_n=1,
+    )
+    np.testing.assert_array_equal(np.asarray(losses_g)[0], solo_losses)
+    row0 = jax.tree_util.tree_map(lambda x: x[0], new_packed_g)
+    grid_state = unpack_mlp_state(state, row0, N_STEPS, enc_dims, dec_dims,
+                                  tdv, mlp_t.LATENT)
+    assert_trees_equal(grid_state.params, solo_state.params)
+    assert_trees_equal(grid_state.opt_state, solo_state.opt_state)

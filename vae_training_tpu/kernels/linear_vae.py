@@ -142,11 +142,12 @@ def _make_kernel(
     ``grid=True`` runs one SWEEP SEED per pallas grid step: every buffer
     gains a leading axis of size n_seeds in HBM and each grid step's blocks
     (lead dim 1) are streamed into VMEM by the BlockSpec machinery — the
-    whole multi-seed sweep becomes one kernel launch.
+    whole multi-seed sweep becomes one kernel launch. External noise works
+    in grid mode too (noise buffers carry the same leading seed axis), so
+    the multi-seed path is pinned to the solo kernel and the XLA/optax
+    reference by the same equivalence tests
+    (tests/test_grid_kernel_equivalence.py).
     """
-    if grid and external_noise:
-        raise ValueError("grid mode has no external-noise test hook")
-
     if batch > N:
         raise ValueError(f"fused kernel supports batch <= {N}, got {batch}")
     inv_b = 1.0 / batch
@@ -178,9 +179,11 @@ def _make_kernel(
         if grid:
             t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
             ld = lambda r: r[0]  # blocks carry a leading seed axis of 1
+            ldn = lambda r, i: r[0, i]  # noise: (1, n_steps, rows, N) block
         else:
             t0 = seed_ref[1].astype(jnp.float32)
             ld = lambda r: r[:]
+            ldn = lambda r, i: r[i]
         # (N, N) manifold matrix: linear → A.T at [:intrinsic, :dim];
         # sigmoid → A's column at [:dim, dim] so n·a_t lands σ's logit in
         # the σ-coordinate column.
@@ -201,9 +204,9 @@ def _make_kernel(
 
             # --- sample (on-device dataset + prior noise) ---------------
             if external_noise:
-                x = xn_ref[i]
-                z1 = z1n_ref[i]
-                z2 = z2n_ref[i]
+                x = ldn(xn_ref, i)
+                z1 = ldn(z1n_ref, i)
+                z2 = ldn(z2n_ref, i)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
                 n_int = n_raw * int_m
@@ -402,6 +405,10 @@ def run_fused_chunk(
         in_specs = [spec_for((N, N))]  # a_t
         for s in state_shapes:
             in_specs.append(spec_for(s.shape[1:]))
+        if external_noise is not None:
+            # test hook: per-seed noise streams, (1, n_steps, rows, N) blocks
+            for noise in external_noise:
+                in_specs.append(spec_for(noise.shape[1:]))
         # loss: flattened (grid_n*n_steps_pad, 1); seed i owns block row i
         loss_spec = pl.BlockSpec(
             (n_steps_pad, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)

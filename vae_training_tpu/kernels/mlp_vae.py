@@ -80,8 +80,6 @@ def _make_kernel(
     external_noise: bool,
     grid: bool = False,  # one grid step per sweep seed (lead dim 1 blocks)
 ):
-    if grid and external_noise:
-        raise ValueError("grid mode has no external-noise test hook")
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
     n_enc, n_dec = len(enc_dims), len(dec_dims)
@@ -127,9 +125,11 @@ def _make_kernel(
         if grid:
             t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
             ld = lambda r: r[0]
+            ldn = lambda r, i: r[0, i]  # noise blocks: leading seed axis 1
         else:
             t0 = seed_ref[1].astype(jnp.float32)
             ld = lambda r: r[:]
+            ldn = lambda r, i: r[i]
         a_t = ld(a_t_ref)
         lat_m = _col_mask(latent_dim)
         dat_m = _col_mask(data_dim)
@@ -183,9 +183,9 @@ def _make_kernel(
             t = t0 + i.astype(jnp.float32) + 1.0
 
             if external_noise:
-                x = xn_ref[i]
-                z1 = z1n_ref[i]
-                z2 = z2n_ref[i]
+                x = ldn(xn_ref, i)
+                z1 = ldn(z1n_ref, i)
+                z2 = ldn(z2n_ref, i)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
                 if dataset_kind == "sphere":
@@ -440,6 +440,9 @@ def run_mlp_fused_chunk(
 
         in_specs = [spec_for(a_t.shape[1:])]
         in_specs += [spec_for(s.shape[1:]) for s in state_shapes]
+        if external_noise is not None:
+            # test hook: per-seed noise streams, (1, n_steps, rows, LANE)
+            in_specs += [spec_for(noise.shape[1:]) for noise in external_noise]
         loss_spec = pl.BlockSpec(
             (n_steps_pad, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         out_specs = tuple(
