@@ -141,10 +141,14 @@ SWEEP_SEEDS = {"linear": [2, 3, 4], "sigmoid": [69, 24, 48],
                "sphere": [69, 24, 48]}
 
 
-def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str) -> int:
+def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
+                mesh: str = "") -> int:
     """Max-speed sweep: each row's seeds train as ONE grid launch (the
     fused pallas grid kernel where eligible), reusing the reference run
-    names. The linear sweep's 21 runs collapse to 7 launches."""
+    names. The linear sweep's 21 runs collapse to 7 launches. With
+    ``mesh`` (e.g. 'dp=3'), each launch's seed axis is sharded over the
+    device mesh — every chip trains its own rows at the full fused-kernel
+    rate, zero collectives."""
     from vae_training_tpu.train.grid import run_seed_grid
 
     seeds = SWEEP_SEEDS[sweep]
@@ -155,6 +159,7 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str) -> int:
     for key, by_seed in rows.items():
         cfgs = [by_seed[s] for s in seeds]
         names = {s: c.name for s, c in zip(seeds, cfgs)}
+        cfgs[0].mesh = mesh
         t0 = time.perf_counter()
         run_seed_grid(cfgs[0], seeds, name_fn=lambda s: names[s])
         print(f"[sweep] row dd={key[0]} pd={key[1]} ld={key[2]} "
@@ -174,6 +179,10 @@ def main(argv=None) -> int:
     p.add_argument("--grouped", action="store_true",
                    help="Train each row's seeds as ONE grid launch (fused "
                         "pallas grid kernel where eligible).")
+    p.add_argument("--mesh", default="",
+                   help="With --grouped: shard each launch's seed axis over "
+                        "a device mesh, e.g. 'dp=3' (seed count must divide "
+                        "evenly).")
     p.add_argument("--isolate", action="store_true",
                    help="Run each row as a supervised subprocess with "
                         "timeout + retry + resume-from-checkpoint (turns "
@@ -194,7 +203,7 @@ def main(argv=None) -> int:
         enable_compile_cache()
         t0 = time.perf_counter()
         rc = run_grouped(args.sweep, args.data_dir, args.num_batches,
-                         args.kernels)
+                         args.kernels, mesh=args.mesh)
         print(f"[sweep] grouped {args.sweep} in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
         return rc

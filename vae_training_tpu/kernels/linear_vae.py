@@ -573,7 +573,12 @@ def unpack_state(
 # ---------------------------------------------------------------------------
 
 
-def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
+def pallas_supported(model, dataset, cfg,
+                     grid_over_mesh: bool = False) -> Tuple[bool, str]:
+    """``grid_over_mesh=True`` = the caller shards a SEED GRID over the mesh
+    (one kernel launch per device, seeds independent) — the supported
+    multi-chip shape. Solo training under --mesh still uses the XLA path
+    (a single tiny-batch step has nothing to shard a fused kernel over)."""
     from ..data.synthetic import LinearGaussianDataset, SigmoidDataset
 
     if jax.default_backend() not in ("tpu", "axon"):
@@ -597,8 +602,10 @@ def pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
         return False, f"batch_size must be <= {N}"
     if dataset.dimension > N or model.latent_dim > N or intrinsic > N:
         return False, f"dims must be <= {N}"
-    if cfg.mesh:
-        return False, "mesh training uses the XLA path"
+    if cfg.mesh and not grid_over_mesh:
+        return False, ("mesh training uses the XLA path (to use the fused "
+                       "kernels multi-chip, shard a seed grid: "
+                       "--seed_grid ... --mesh dp=N)")
     return True, "ok"
 
 

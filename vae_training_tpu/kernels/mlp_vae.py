@@ -501,7 +501,8 @@ def run_mlp_fused_chunk(
 # ---------------------------------------------------------------------------
 
 
-def mlp_pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
+def mlp_pallas_supported(model, dataset, cfg,
+                         grid_over_mesh: bool = False) -> Tuple[bool, str]:
     from ..data.synthetic import LinearGaussianDataset, SphereDataset
 
     if jax.default_backend() not in ("tpu", "axon"):
@@ -525,8 +526,10 @@ def mlp_pallas_supported(model, dataset, cfg) -> Tuple[bool, str]:
     if any(pad_dim(f) > 512 for f in model.encoder_features
            + model.decoder_features):
         return False, "hidden layers too wide for VMEM residency"
-    if cfg.mesh:
-        return False, "mesh training uses the XLA path"
+    if cfg.mesh and not grid_over_mesh:
+        return False, ("mesh training uses the XLA path (to use the fused "
+                       "kernels multi-chip, shard a seed grid: "
+                       "--seed_grid ... --mesh dp=N)")
     return True, "ok"
 
 

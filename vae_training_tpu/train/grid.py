@@ -8,6 +8,14 @@ TrainStates are stacked along a leading grid axis, and XLA batches the tiny
 per-seed matmuls into one wide program that actually fills the MXU. This is
 BASELINE.json config 4 ("Batched multi-seed × latent-dim grid via vmap").
 
+Multi-chip: ``--seed_grid`` composes with ``--mesh dp=N`` — the seed axis is
+sharded over the mesh with ``shard_map`` and each device trains its own
+rows with the FUSED grid kernel (or the vmapped XLA chunk). Seeds are
+independent, so the sharded program has ZERO collectives: aggregate
+throughput scales linearly with chip count while each chip keeps the full
+single-chip fused-kernel rate. This is the idiomatic multi-chip shape for
+this workload — scale the sweep, not the (tiny) per-seed batch.
+
 Given identical TrainStates, each grid row computes exactly what a solo XLA
 run computes: the grid axis only changes batching, not math (verified by
 tests/test_grid.py). Note the INITIALIZATION key derivation differs from the
@@ -27,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import RunConfig
 from ..data.base import DistributionDataset
@@ -70,10 +79,23 @@ class GridTrainer:
                 "--seed_grid starts fresh; resume individual rows solo with "
                 "--resume <name>_seed<N>"
             )
+        self.mesh = None
         if cfg.mesh:
-            raise NotImplementedError(
-                "--seed_grid batches over seeds on one chip; drop --mesh"
-            )
+            from ..parallel.mesh import make_mesh, parse_mesh_spec
+
+            axes = parse_mesh_spec(cfg.mesh)
+            if axes.get("tp", 1) > 1:
+                raise ValueError(
+                    "--seed_grid shards SEEDS over the mesh; use a pure dp "
+                    "spec (e.g. --mesh dp=8), tp does not apply"
+                )
+            self.mesh = make_mesh(cfg.mesh)
+            dp = self.mesh.shape["dp"]
+            if len(self.seeds) % dp != 0:
+                raise ValueError(
+                    f"--seed_grid with --mesh dp={dp} needs the seed count "
+                    f"to divide evenly; got {len(self.seeds)} seeds"
+                )
         if cfg.arch == "conv":
             raise ValueError("--seed_grid supports the MLP VAE architectures")
         data_dim = self.datasets[0].dimension
@@ -117,6 +139,12 @@ class GridTrainer:
                 )
             )
         self.state_grid = stack_pytrees(states)
+        if self.mesh is not None:
+            # seed axis sharded over dp: each device owns its rows, zero
+            # cross-device traffic in the training chunk
+            row_sharded = NamedSharding(self.mesh, P("dp"))
+            self.state_grid = jax.device_put(self.state_grid, row_sharded)
+            self.dataset_grid = jax.device_put(self.dataset_grid, row_sharded)
         self._eval_counter = 0
         self._host_key = jax.random.PRNGKey(cfg.model_seed + 1)
 
@@ -158,13 +186,13 @@ class GridTrainer:
 
             return jax.lax.scan(body, state, None, length=n_steps)
 
-        @partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnames=("state_grid",))
-        def train_chunk(dataset_grid, state_grid, n_steps: int):
+        def chunk_rows(dataset_grid, state_grid, n_steps):
+            """Raw (unjitted) multi-row chunk; also the per-shard body."""
             return jax.vmap(
                 partial(chunk_one, n_steps=n_steps)
             )(dataset_grid, state_grid)
 
+        train_chunk = self._wrap_grid_chunk(chunk_rows)
         self._train_chunk = train_chunk
         if self.cfg.kernels in ("auto", "pallas") and not self.cfg.nojit:
             fused = self._build_pallas_grid_chunk()
@@ -203,6 +231,39 @@ class GridTrainer:
                 self._train_chunk = chunk_with_fallback
         self._build_eval(model, batch_size, latent_dim, data_dim)
 
+    def _wrap_grid_chunk(self, rows_fn, extras=()):
+        """jit a raw ``(dataset_grid, state_grid, *extras, n_steps=)`` chunk;
+        with --mesh, shard the seed axis over dp via shard_map first (seeds
+        are independent ⇒ zero collectives; check_vma off — every output is
+        row-sharded by construction). ``extras`` are additional row-major
+        operands (e.g. the fused kernels' stacked manifold matrices) that
+        must flow through shard_map explicitly rather than by closure."""
+        if self.mesh is None:
+            @partial(jax.jit, static_argnames=("n_steps",),
+                     donate_argnames=("state_grid",))
+            def wrapped(dataset_grid, state_grid, n_steps: int):
+                return rows_fn(dataset_grid, state_grid, *extras,
+                               n_steps=n_steps)
+
+            return wrapped
+        mesh = self.mesh
+        extras = tuple(
+            jax.device_put(e, NamedSharding(mesh, P("dp"))) for e in extras
+        )
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grid",))
+        def wrapped(dataset_grid, state_grid, n_steps: int):
+            return jax.shard_map(
+                partial(rows_fn, n_steps=n_steps),
+                mesh=mesh,
+                in_specs=(P("dp"),) * (2 + len(extras)),
+                out_specs=(P("dp"), P("dp")),
+                check_vma=False,
+            )(dataset_grid, state_grid, *extras)
+
+        return wrapped
+
     def _build_pallas_grid_chunk(self):
         """Multi-seed fused kernel: ONE pallas launch trains every seed (one
         grid step per seed, per-seed state streamed HBM→VMEM). Returns None
@@ -218,13 +279,13 @@ class GridTrainer:
         )
         from ..data.synthetic import SigmoidDataset
 
-        ok, _why = pallas_supported(self.model, self.datasets[0], self.cfg)
+        ok, _why = pallas_supported(self.model, self.datasets[0], self.cfg,
+                                    grid_over_mesh=True)
         if not ok:
             return None
         model, cfg = self.model, self.cfg
         data_dim, latent_dim = self.data_dim, self.latent_dim
         tdv, dual = model.tunable_decoder_var, model.dual_sigmoid_decoder
-        n_seeds = len(self.seeds)
         if isinstance(self.datasets[0], SigmoidDataset):
             dataset_kind, var_added = "sigmoid", 0.0
             intrinsic_dim = self.datasets[0].dim
@@ -238,22 +299,22 @@ class GridTrainer:
             intrinsic_dim = self.datasets[0].intrinsic_dim
             a_t = jnp.stack([_pack_mat((N, N), d.A.T) for d in self.datasets])
 
-        @partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnames=("state_grid",))
-        def train_chunk(dataset_grid, state_grid, n_steps: int):
+        def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
             del dataset_grid  # manifolds baked into the stacked a_t
-
+            # leading axis = rows owned here (all seeds solo; the local
+            # shard under --mesh) — ONE kernel launch either way
+            grid_n = a_t_rows.shape[0]
             seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
             buffers = jax.vmap(
                 lambda st: pack_state(st, data_dim, latent_dim, tdv, dual=dual)
             )(state_grid)
             new_buffers, losses = run_fused_chunk(
-                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t,
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_rows,
                 buffers=buffers, batch=cfg.batch_size, data_dim=data_dim,
                 latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
                 lr=cfg.learning_rate, dataset_kind=dataset_kind, dual=dual,
-                grid_n=n_seeds,
+                grid_n=grid_n,
             )
             new_grid = jax.vmap(
                 lambda st, *bufs: unpack_state(
@@ -261,7 +322,7 @@ class GridTrainer:
             )(state_grid, *new_buffers)
             return new_grid, losses
 
-        return train_chunk
+        return self._wrap_grid_chunk(rows_fn, extras=(a_t,))
 
     def _build_mlp_pallas_grid_chunk(self):
         """Grid mode of the fused MLP kernel (sphere/linear MLP configs)."""
@@ -276,7 +337,8 @@ class GridTrainer:
             unpack_mlp_state,
         )
 
-        ok, _why = mlp_pallas_supported(self.model, self.datasets[0], self.cfg)
+        ok, _why = mlp_pallas_supported(self.model, self.datasets[0], self.cfg,
+                                        grid_over_mesh=True)
         if not ok:
             return None
         model, cfg = self.model, self.cfg
@@ -296,22 +358,20 @@ class GridTrainer:
             a_t = jnp.stack([_pack_mat((LANE, LANE), d.A.T)
                              for d in self.datasets])
 
-        @partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnames=("state_grid",))
-        def train_chunk(dataset_grid, state_grid, n_steps: int):
+        def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
             del dataset_grid
-
+            grid_n = a_t_rows.shape[0]  # rows owned here (shard under --mesh)
             seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
             packed = jax.vmap(
                 lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv)
             )(state_grid)
             new_packed, losses = run_mlp_fused_chunk(
-                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t, packed=packed,
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_rows, packed=packed,
                 batch=cfg.batch_size, data_dim=data_dim,
                 latent_dim=latent_dim, enc_dims=enc_dims, dec_dims=dec_dims,
                 dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
-                lr=cfg.learning_rate, grid_n=n_seeds,
+                lr=cfg.learning_rate, grid_n=grid_n,
             )
             new_grid = jax.vmap(
                 lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec:
@@ -321,7 +381,7 @@ class GridTrainer:
             )(state_grid, *new_packed)
             return new_grid, losses
 
-        return train_chunk
+        return self._wrap_grid_chunk(rows_fn, extras=(a_t,))
 
     def _build_eval(self, model, batch_size, latent_dim, data_dim):
 
