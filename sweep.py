@@ -156,6 +156,29 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
     for cfg in sweep_configs(sweep, data_dir, num_batches, kernels):
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
+
+    if not mesh and kernels in ("auto", "pallas"):
+        # Fastest shape: the WHOLE sweep (every mixed-dim row × every seed)
+        # as one kernel launch — per-row dims ride the scalar-prefetch
+        # buffer. Falls back to per-row launches outside the envelope.
+        from vae_training_tpu.train.mixed_grid import run_mixed_sweep
+
+        mixed_rows = []
+        for key, by_seed in rows.items():
+            cfgs = [by_seed[s] for s in seeds]
+            mixed_rows.append(
+                (cfgs[0], seeds, {s: c.name for s, c in zip(seeds, cfgs)}))
+        try:
+            t0 = time.perf_counter()
+            rc = run_mixed_sweep(mixed_rows)
+            print(f"[sweep] ONE-LAUNCH {sweep}: {len(rows)} rows × "
+                  f"{len(seeds)} seeds in {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            return rc
+        except ValueError as e:
+            print(f"[sweep] one-launch unavailable ({e}); "
+                  f"per-row grid launches", flush=True)
+
     for key, by_seed in rows.items():
         cfgs = [by_seed[s] for s in seeds]
         names = {s: c.name for s, c in zip(seeds, cfgs)}

@@ -75,7 +75,10 @@ def _linear_grid(dataset_dims, states, noises, tdv, dual, grid_n):
     buffers = stack([
         pack_state(st, data_dim, lin_t.LATENT, tdv, dual=dual) for st in states
     ])
-    seeds = jnp.tile(jnp.array([[123, 0]], jnp.int32), (grid_n, 1))
+    # grid rows: [seed, t0, data_dim, latent_dim, intrinsic_dim]
+    seeds = jnp.tile(
+        jnp.array([[123, 0, data_dim, lin_t.LATENT, lin_t.INTRINSIC]],
+                  jnp.int32), (grid_n, 1))
     a_t = jnp.zeros((grid_n, N, N), jnp.float32)
     noise_g = tuple(jnp.stack([n[j] for n in noises])
                     for j in range(3))  # (grid_n, n_steps, rows, N) each
@@ -133,6 +136,76 @@ def test_linear_grid3_rows_match_independent_solo_runs(kind):
         for j, sb in enumerate(solo_buffers):
             np.testing.assert_array_equal(
                 np.asarray(grid_buffers[j][i]), np.asarray(sb),
+                err_msg=f"row {i} buffer {j}")
+
+
+def test_linear_grid_mixed_dims_rows_match_solo():
+    """Rows with DIFFERENT (data_dim, latent_dim) in ONE grid launch: the
+    scalar-prefetched per-row dims must reproduce each solo run bitwise.
+    This is the one-launch mixed-dimension sweep's math pinned down."""
+    from vae_training_tpu.data import LinearGaussianDataset
+    from vae_training_tpu.models import build_vae
+    from vae_training_tpu.train import TrainState
+    import optax
+
+    rows = []  # (dataset, state, noise, dims)
+    for dd, pad, ld in ((3, 9, 20), (4, 2, 10)):
+        dataset = LinearGaussianDataset.create(
+            2, dimension=dd, intrinsic_dimension=dd, padding_dimension=pad)
+        model = build_vae(
+            data_dim=dataset.dimension, latent_dim=ld,
+            encoder_layer_sizes="", decoder_layer_sizes="",
+            epsilon=-1.0, tunable_decoder_var=True)
+        params = model.init(
+            jax.random.PRNGKey(dd),
+            jnp.zeros((1, dataset.dimension)), jnp.zeros((1, ld)),
+            jnp.zeros((1, dataset.dimension)))["params"]
+        state = TrainState.create(
+            params=params, tx=optax.adam(1e-3),
+            model_key=jax.random.PRNGKey(1), data_key=jax.random.PRNGKey(2))
+        rng = np.random.RandomState(dd)
+        D = dataset.dimension
+        lat = rng.randn(N_STEPS, lin_t.BATCH, dd).astype(np.float32)
+        xs = np.zeros((N_STEPS, lin_t.BATCH, D), np.float32)
+        xs[:, :, :dd] = lat @ np.asarray(dataset.A.T)
+        z1s = rng.randn(N_STEPS, lin_t.BATCH, ld).astype(np.float32)
+        z2s = rng.randn(N_STEPS, lin_t.BATCH, D).astype(np.float32)
+        noise = lin_t.pad_noise(xs, z1s, z2s, N_STEPS)
+        rows.append((dataset, state, noise, (D, ld, dd)))
+
+    # one mixed launch over both rows
+    buffers = stack([
+        pack_state(st, dims[0], dims[1], True) for _, st, _, dims in rows
+    ])
+    seeds = jnp.asarray(
+        [[123, 0, *dims] for *_ , dims in rows], jnp.int32)
+    noise_g = tuple(jnp.stack([r[2][j] for r in rows]) for j in range(3))
+    new_buffers, losses = run_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=seeds,
+        a_t=jnp.zeros((2, N, N), jnp.float32), buffers=buffers,
+        batch=lin_t.BATCH, data_dim=rows[0][3][0], latent_dim=rows[0][3][1],
+        intrinsic_dim=rows[0][3][2], var_added=0.0, eps_const=-1.0,
+        tdv=True, lr=1e-3, dual=False, external_noise=noise_g,
+        interpret=True, grid_n=2,
+    )
+    losses = np.asarray(losses)
+
+    # each row == its own solo launch with that row's static dims
+    for i, (dataset, state, noise, dims) in enumerate(rows):
+        solo_buffers, solo_losses = run_fused_chunk(
+            n_steps=N_STEPS, seed_and_t0=jnp.array([123, 0], jnp.int32),
+            a_t=jnp.zeros((N, N), jnp.float32),
+            buffers=pack_state(state, dims[0], dims[1], True),
+            batch=lin_t.BATCH, data_dim=dims[0], latent_dim=dims[1],
+            intrinsic_dim=dims[2], var_added=0.0, eps_const=-1.0,
+            tdv=True, lr=1e-3, dual=False, external_noise=noise,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(losses[i], np.asarray(solo_losses),
+                                      err_msg=f"row {i} losses")
+        for j, sb in enumerate(solo_buffers):
+            np.testing.assert_array_equal(
+                np.asarray(new_buffers[j][i]), np.asarray(sb),
                 err_msg=f"row {i} buffer {j}")
 
 

@@ -58,6 +58,25 @@ def chunk_seed_and_t0(state: "TrainState") -> jax.Array:
     t0 = _adam_state(state.opt_state).count.astype(jnp.int32)
     return jnp.stack([seed, t0])
 
+
+def grid_seed_rows(state_grid, data_dims, latent_dims, intrinsic_dims):
+    """(grid_n, 5) int32 scalar-prefetch rows for the GRID kernel:
+    [seed, t0, data_dim, latent_dim, intrinsic_dim] per row. Dims ride the
+    scalar-prefetch buffer so rows with DIFFERENT dimensions (the mixed
+    linear sweep: dd 3..12, ld 10/20) train in ONE pallas launch — the
+    kernel builds its masks from these scalars instead of Python constants."""
+    seeds = jax.vmap(chunk_seed_and_t0)(state_grid)  # (n, 2)
+    n = seeds.shape[0]
+
+    def col(v):
+        arr = jnp.asarray(v, jnp.int32).reshape(-1)
+        return jnp.broadcast_to(arr, (n,)) if arr.shape[0] == 1 else arr
+
+    dims = jnp.stack(
+        [col(data_dims), col(latent_dims), col(intrinsic_dims)], axis=1
+    )
+    return jnp.concatenate([seeds, dims], axis=1)
+
 # vec-buffer row layout: packed small parameters, one Adam update for all
 ROW_BE, ROW_BD, ROW_EP, ROW_EPS, ROW_BS = 0, 1, 2, 3, 4
 
@@ -177,11 +196,17 @@ def _make_kernel(
                 pltpu.prng_seed(seed_ref[0])
 
         if grid:
-            t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
+            # per-row scalars: [seed, t0, data_dim, latent_dim, intrinsic].
+            # Dims ride the scalar-prefetch buffer so MIXED-dimension rows
+            # share one launch; masks below are built from them at runtime.
+            pid = pl.program_id(0)
+            t0 = seed_ref[pid, 1].astype(jnp.float32)
+            dd_i, ld_i, id_i = seed_ref[pid, 2], seed_ref[pid, 3], seed_ref[pid, 4]
             ld = lambda r: r[0]  # blocks carry a leading seed axis of 1
             ldn = lambda r, i: r[0, i]  # noise: (1, n_steps, rows, N) block
         else:
             t0 = seed_ref[1].astype(jnp.float32)
+            dd_i, ld_i, id_i = data_dim, latent_dim, intrinsic_dim
             ld = lambda r: r[:]
             ldn = lambda r, i: r[i]
         # (N, N) manifold matrix: linear → A.T at [:intrinsic, :dim];
@@ -189,13 +214,14 @@ def _make_kernel(
         # the σ-coordinate column.
         a_t = ld(at_ref)
 
-        lat_m = _col_mask(latent_dim)
-        dat_m = _col_mask(data_dim)
-        int_m = _col_mask(intrinsic_dim)
+        dd_f = jnp.asarray(dd_i).astype(jnp.float32)
+        lat_m = _col_mask(ld_i)
+        dat_m = _col_mask(dd_i)
+        int_m = _col_mask(id_i)
         row_m = _row_mask(batch, rows)
         if dataset_kind == "sigmoid":
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-            sig_col_m = (col_ids == intrinsic_dim).astype(jnp.float32)
+            sig_col_m = (col_ids == id_i).astype(jnp.float32)
 
         def body(i, carry):
             (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws,
@@ -256,7 +282,10 @@ def _make_kernel(
             kl_const = jnp.sum(kl_vec)
             sum_mu2 = jnp.sum(mu * mu)
             sum_r2 = jnp.sum(r * r)
-            mse_const = 0.5 * data_dim * (LOG_2PI + eps)
+            # structured as dd_f · (0.5·(log2π+ε)) so the solo (static dd)
+            # and grid (scalar-prefetched dd) paths compute bitwise-equal
+            # constants
+            mse_const = dd_f * (0.5 * (LOG_2PI + eps))
             loss = (kl_const + 0.5 * inv_b * sum_mu2
                     + 0.5 * inv_var * inv_b * sum_r2 + mse_const)
             # identical 2-D store in both modes: grid mode gives each seed
@@ -296,7 +325,7 @@ def _make_kernel(
                     + 0.5 * (jnp.exp(ep) - 1.0) * lat_m)
             if tdv:
                 g_eps = (-0.5 * inv_var * inv_b * sum_r2
-                         + 0.5 * data_dim
+                         + 0.5 * dd_f
                          + jnp.sum(g_y * z2) * 0.5 * jnp.exp(eps * 0.5))
                 g_eps_s = g_eps * eps_const
                 col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) == 0)
@@ -341,7 +370,7 @@ N_STATE_BUFFERS = 12  # we, wd, ws, vec, + adam m/v for each
 def run_fused_chunk(
     *,
     n_steps: int,
-    seed_and_t0: jax.Array,  # (2,) int32
+    seed_and_t0: jax.Array,  # solo: (2,) int32; grid: (grid_n, 5) int32
     a_t: jax.Array,  # (N, N)
     buffers,  # 12-tuple: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
     batch: int,
@@ -360,9 +389,14 @@ def run_fused_chunk(
 ):
     """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
 
-    ``grid_n > 0`` = multi-seed mode: every buffer (and the seed pair /
-    manifold matrix) carries a leading axis of size grid_n; one pallas grid
-    step trains one seed, its state blocks streamed HBM→VMEM by BlockSpec.
+    ``grid_n > 0`` = multi-seed mode: every buffer (and the manifold matrix)
+    carries a leading axis of size grid_n; one pallas grid step trains one
+    seed, its state blocks streamed HBM→VMEM by BlockSpec. ``seed_and_t0``
+    rows are ``[seed, t0, data_dim, latent_dim, intrinsic_dim]``
+    (see grid_seed_rows): dims are scalar-prefetched per row, so rows with
+    DIFFERENT dimensions train in the same launch — the ``data_dim``/
+    ``latent_dim``/``intrinsic_dim`` arguments are ignored by grid-mode
+    masks (they still describe the host-side pack/unpack layout).
     """
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,

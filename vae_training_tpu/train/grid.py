@@ -271,7 +271,7 @@ class GridTrainer:
         from ..kernels.linear_vae import (
             N,
             _pack_mat,
-            chunk_seed_and_t0,
+            grid_seed_rows,
             pack_state,
             pallas_supported,
             run_fused_chunk,
@@ -304,7 +304,8 @@ class GridTrainer:
             # leading axis = rows owned here (all seeds solo; the local
             # shard under --mesh) — ONE kernel launch either way
             grid_n = a_t_rows.shape[0]
-            seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
+            seeds = grid_seed_rows(state_grid, data_dim, latent_dim,
+                                   intrinsic_dim)
             buffers = jax.vmap(
                 lambda st: pack_state(st, data_dim, latent_dim, tdv, dual=dual)
             )(state_grid)

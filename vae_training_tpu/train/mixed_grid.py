@@ -1,0 +1,215 @@
+"""The ENTIRE mixed-dimension sweep as ONE kernel launch.
+
+``sweep.py --grouped`` previously ran one grid launch per (data_dim,
+padding_dim, latent_dim) row because dimensions were compile-time constants
+baked into the fused kernel's masks — 7 launches for the linear sweep.
+Since the kernel now reads per-row dims from the scalar-prefetch buffer
+(kernels/linear_vae.py:grid_seed_rows), rows with DIFFERENT dimensions can
+share a launch: all 21 linear runs (3 seeds × 7 mixed-dim rows) — and all
+18 sigmoid runs — train in a single ``pallas_call``. This is BASELINE.json
+config 4 ("full linpadding sweep in one device launch") taken literally.
+
+Architecture: one :class:`~.grid.GridTrainer` per homogeneous row (it owns
+eval/plot/save for its seeds, where shapes must be uniform for ``vmap``);
+training concatenates every group's packed (128,128)-tile buffers along the
+grid axis and runs the shared kernel, then splits the rows back. Buffers
+are identical tiles regardless of row dims, so concatenation is free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from .grid import GridTrainer
+
+
+def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
+    """All groups must hit the linear/sigmoid fused kernel with identical
+    static hyperparameters (batch, lr, epsilon, tdv, decoder head, chunk
+    cadences) — only the DIMS may differ across rows."""
+    from ..data.synthetic import LinearGaussianDataset, SigmoidDataset
+    from ..kernels.linear_vae import pallas_supported
+
+    if not groups:
+        return False, "no rows"
+    for g in groups:
+        if not isinstance(g.datasets[0], (LinearGaussianDataset,
+                                          SigmoidDataset)):
+            return False, "mixed launch supports linear_gaussian and sigmoid"
+        ok, why = pallas_supported(g.model, g.datasets[0], g.cfg,
+                                   grid_over_mesh=True)
+        if not ok:
+            return False, why
+        if g.mesh is not None:
+            return False, "mixed launch is single-chip; use per-row --mesh"
+    ref = groups[0]
+    for g in groups[1:]:
+        same = (
+            g.cfg.batch_size == ref.cfg.batch_size
+            and g.cfg.learning_rate == ref.cfg.learning_rate
+            and g.cfg.epsilon == ref.cfg.epsilon
+            and g.cfg.tunable_decoder_var == ref.cfg.tunable_decoder_var
+            and g.cfg.num_batches == ref.cfg.num_batches
+            and g.model.dual_sigmoid_decoder == ref.model.dual_sigmoid_decoder
+            and type(g.datasets[0]) is type(ref.datasets[0])
+            and getattr(g.datasets[0], "var_added", 0.0)
+            == getattr(ref.datasets[0], "var_added", 0.0)
+            and g.n_print == ref.n_print and g.n_plot == ref.n_plot
+        )
+        if not same:
+            return False, "rows differ in a non-dimension hyperparameter"
+    return True, "ok"
+
+
+class MixedGridSweep:
+    """Train many heterogeneous-dimension grid rows in one kernel launch."""
+
+    def __init__(self, groups: List[GridTrainer]):
+        ok, why = mixed_launch_eligible(groups)
+        if not ok:
+            raise ValueError(f"mixed one-launch sweep unavailable: {why}")
+        self.groups = groups
+        self.cfg: RunConfig = groups[0].cfg
+        self._build_chunk()
+
+    def _build_chunk(self):
+        from ..data.synthetic import SigmoidDataset
+        from ..kernels.linear_vae import (
+            N,
+            _pack_mat,
+            grid_seed_rows,
+            pack_state,
+            run_fused_chunk,
+            unpack_state,
+        )
+
+        groups = self.groups
+        cfg = self.cfg
+        tdv = groups[0].model.tunable_decoder_var
+        dual = groups[0].model.dual_sigmoid_decoder
+        if isinstance(groups[0].datasets[0], SigmoidDataset):
+            dataset_kind, var_added = "sigmoid", 0.0
+        else:
+            dataset_kind = "linear"
+            var_added = groups[0].datasets[0].var_added
+
+        group_dims, a_t_rows, sizes = [], [], []
+        for g in groups:
+            if dataset_kind == "sigmoid":
+                idim = g.datasets[0].dim
+                a_t_rows.extend(
+                    jnp.zeros((N, N), jnp.float32)
+                    .at[: d.dim, d.dim].set(d.A[:, 0])
+                    for d in g.datasets
+                )
+            else:
+                idim = g.datasets[0].intrinsic_dim
+                a_t_rows.extend(
+                    _pack_mat((N, N), d.A.T) for d in g.datasets
+                )
+            group_dims.append((g.data_dim, g.latent_dim, idim))
+            sizes.append(len(g.seeds))
+        a_t_all = jnp.stack(a_t_rows)
+        total_rows = sum(sizes)
+        self.n_rows = total_rows
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grids",))
+        def train_chunk(state_grids: Tuple, n_steps: int):
+            all_seeds, all_bufs = [], []
+            for gi, sg in enumerate(state_grids):
+                dd, ldim, idim = group_dims[gi]
+                all_seeds.append(grid_seed_rows(sg, dd, ldim, idim))
+                all_bufs.append(jax.vmap(
+                    lambda st, dd=dd, ldim=ldim: pack_state(
+                        st, dd, ldim, tdv, dual=dual)
+                )(sg))
+            seeds = jnp.concatenate(all_seeds, axis=0)
+            buffers = tuple(
+                jnp.concatenate([bufs[j] for bufs in all_bufs], axis=0)
+                for j in range(len(all_bufs[0]))
+            )
+            new_buffers, losses = run_fused_chunk(
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_all,
+                buffers=buffers, batch=cfg.batch_size,
+                # dims per row come from the scalar-prefetch rows; these
+                # describe only the (irrelevant) host-side layout defaults
+                data_dim=group_dims[0][0], latent_dim=group_dims[0][1],
+                intrinsic_dim=group_dims[0][2],
+                var_added=float(var_added), eps_const=float(cfg.epsilon),
+                tdv=tdv, lr=float(cfg.learning_rate),
+                dataset_kind=dataset_kind, dual=dual, grid_n=total_rows,
+            )
+            new_grids, loss_rows, off = [], [], 0
+            for gi, sg in enumerate(state_grids):
+                n_g = sizes[gi]
+                dd, ldim, idim = group_dims[gi]
+                bufs_g = tuple(b[off:off + n_g] for b in new_buffers)
+                new_grids.append(jax.vmap(
+                    lambda st, *bb, dd=dd, ldim=ldim: unpack_state(
+                        st, bb, n_steps, dd, ldim, tdv, dual=dual)
+                )(sg, *bufs_g))
+                loss_rows.append(losses[off:off + n_g])
+                off += n_g
+            return tuple(new_grids), tuple(loss_rows)
+
+        self._train_chunk = train_chunk
+
+    # ------------------------------------------------------------------
+    def train(self, outdirs_per_group: List[List[str]]) -> None:
+        groups = self.groups
+        total = self.cfg.num_batches
+        b = 0
+        while b < total:
+            for g in groups:
+                g.batchnum = b
+            if b % groups[0].n_print == 0:
+                for g in groups:
+                    g.compute_and_write_stats()
+            if b % groups[0].n_plot == 0 or b == total - 1:
+                for g, outs in zip(groups, outdirs_per_group):
+                    g.plot_all(outs)
+                    g.save_all(outs)
+            nxt = groups[0]._next_event(b)
+            n = nxt - b
+            state_grids = tuple(g.state_grid for g in groups)
+            new_grids, loss_rows = self._train_chunk(state_grids, n)
+            for g, ng, lg in zip(groups, new_grids, loss_rows):
+                g.state_grid = ng
+                lg = jax.device_get(lg)
+                for i in range(len(g.seeds)):
+                    g.recorders[i].append_train_losses(lg[i])
+            b += n
+        for g in groups:
+            g.batchnum = max(total - 1, 0)
+
+
+def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]]) -> int:
+    """One-launch CLI entry. ``rows`` = [(cfg, seeds, {seed: run_name})].
+
+    Returns 0 on success; raises ValueError when the row set is outside the
+    fused kernel's envelope (callers fall back to per-row grid launches).
+    """
+    from ..runio.outdir import make_output_dir
+
+    groups = [GridTrainer(cfg, seeds) for cfg, seeds, _ in rows]
+    sweep = MixedGridSweep(groups)  # raises if ineligible — before any IO
+    outdirs_per_group = []
+    for cfg, seeds, names in rows:
+        outs = []
+        for seed in seeds:
+            sub = cfg.__class__(**{**cfg.to_json_dict()})
+            sub.dataset_seed = seed
+            outs.append(make_output_dir(
+                names[seed], cfg.overwrite, sub, data_dir=cfg.data_dir))
+        outdirs_per_group.append(outs)
+    sweep.train(outdirs_per_group)
+    for g, outs in zip(groups, outdirs_per_group):
+        g.save_all(outs, final=True)
+    return 0
