@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: train steps/sec/chip on the linear-VAE sweep config.
+"""Headline benchmark: train steps/sec/chip, one JSON line on stdout.
 
-Workload = row 1 of /root/reference/seed_linpadding_expts.sh (linear
-encoder/decoder, ambient dim 12, latent 20, batch 100, Adam 1e-3, tunable
-decoder variance) — the config BASELINE.json sets the ≥20k steps/sec/chip
-target on. Prints ONE JSON line:
+Default workload = row 1 of /root/reference/seed_linpadding_expts.sh
+(linear encoder/decoder, ambient dim 12, latent 20, batch 100, Adam 1e-3,
+tunable decoder variance) — the config BASELINE.json sets the ≥20k
+steps/sec/chip target on. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 
-All diagnostics go to stderr. Uses the fastest available backend
-(--kernels auto: Pallas fused kernel when supported, else the XLA scan
-chunk).
+``--config {linear,sigmoid,sphere,grid}`` captures every PARITY.md headline
+with the same driver contract (grid = the 21-row mixed-dim linear sweep in
+one launch; its value is AGGREGATE steps/sec across rows). All diagnostics
+go to stderr. Uses the fastest available backend (--kernels auto: Pallas
+fused kernel when supported, else the XLA scan chunk).
 """
 
 from __future__ import annotations
@@ -27,48 +29,104 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(kernels: str = "auto"):
-    from vae_training_tpu.config import RunConfig
-    from vae_training_tpu.data import get_dataset
-    from vae_training_tpu.train import Trainer
+# Sweep-representative configs (flags exactly as the reference's scripts
+# set them): linear row 1, sigmoid row 1, sphere row 1.
+CONFIGS = {
+    "linear": dict(
+        dataset="linear_gaussian", encoder_layer_sizes="", layer_sizes="",
+        latent_dimension=20, padding_dim=9, dataset_dimension=3,
+        dataset_intrinsic_dimension=3, learning_rate=1e-3, epsilon=-1.0,
+    ),
+    "sigmoid": dict(
+        dataset="sigmoid", encoder_layer_sizes="", layer_sizes="",
+        latent_dimension=6, padding_dim=3, dataset_dimension=3,
+        learning_rate=1e-4, epsilon=-3.0,
+    ),
+    "sphere": dict(
+        dataset="sphere", encoder_layer_sizes="200|200|200",
+        layer_sizes="200|200|200", latent_dimension=6, padding_dim=3,
+        dataset_dimension=3, learning_rate=1e-4, epsilon=-3.0,
+    ),
+}
 
-    cfg = RunConfig(
+
+def make_cfg(config: str, kernels: str = "auto"):
+    from vae_training_tpu.config import RunConfig
+
+    return RunConfig(
         name="bench",
-        dataset="linear_gaussian",
-        encoder_layer_sizes="",
-        layer_sizes="",
-        latent_dimension=20,
-        padding_dim=9,
-        dataset_dimension=3,
-        dataset_intrinsic_dimension=3,
         num_batches=100_000,
         batch_size=100,
-        learning_rate=1e-3,
-        epsilon=-1.0,
         tunable_decoder_var=True,
         dataset_seed=2,
         tqdm=False,
         kernels=kernels,
+        **CONFIGS[config],
     ).validate()
+
+
+def build(kernels: str = "auto", config: str = "linear"):
+    from vae_training_tpu.data import get_dataset
+    from vae_training_tpu.train import Trainer
+
+    cfg = make_cfg(config, kernels)
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
-
-    class _NullDir:
-        pass
-
     trainer = Trainer(cfg, dataset, output_dir=".")
     return trainer
 
 
-def measure(trainer, chunk_steps: int = 20_000, reps: int = 3) -> float:
+def build_grid(kernels: str = "auto"):
+    """The 21-row mixed-dimension linear sweep as ONE launch (the grid
+    headline): 7 (dd, pd, ld) rows × 3 seeds, trained by MixedGridSweep."""
+    import sweep as sweep_mod
+    from vae_training_tpu.train.grid import GridTrainer
+    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+
+    seeds = sweep_mod.SWEEP_SEEDS["linear"]
+    rows = {}
+    for cfg in sweep_mod.sweep_configs("linear", "data", None, kernels):
+        key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
+        rows.setdefault(key, {})[cfg.dataset_seed] = cfg
+    groups = [GridTrainer(by_seed[seeds[0]], seeds)
+              for by_seed in rows.values()]
+    return MixedGridSweep(groups)
+
+
+def measure_grid(sweep, chunk_steps: int = 20_000, reps: int = 3) -> float:
+    """Aggregate steps/sec across all rows of the one-launch sweep
+    (completion forced through the state chain — see measure())."""
+    grids = tuple(g.state_grid for g in sweep.groups)
+    grids, losses = sweep._train_chunk(grids, chunk_steps)  # warmup+compile
+    float(losses[-1][-1][-1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        grids, losses = sweep._train_chunk(grids, chunk_steps)
+    final_loss = float(losses[-1][-1][-1])
+    dt = time.perf_counter() - t0
+    log(f"final loss after bench chain: {final_loss:.3f}")
+    for g, ng in zip(sweep.groups, grids):
+        g.state_grid = ng
+    return (sweep.n_rows * chunk_steps * reps) / dt
+
+
+def measure(trainer, chunk_steps: int = 20_000, reps: int = 5) -> float:
+    """Time ``reps`` pre-compiled chunks, forcing completion by fetching one
+    scalar THROUGH the donated-state dependency chain. block_until_ready is
+    deliberately not used: on remote-tunnel TPU runtimes (axon) it can
+    report readiness before the kernel actually retires (observed: a 60k-
+    step fused chunk 'completing' in 0.4 ms), silently inflating results by
+    100×+. A scalar read of the last chunk's loss cannot resolve until
+    every chained chunk has executed."""
     state = trainer.state
-    # Warmup: compile + one chunk.
+    # Warmup: compile the chunk AND the scalar-slice fetch program.
     state, losses = trainer.fns.train_chunk(state, chunk_steps)
-    jax.block_until_ready(losses)
+    float(losses[-1])
     t0 = time.perf_counter()
     for _ in range(reps):
         state, losses = trainer.fns.train_chunk(state, chunk_steps)
-    jax.block_until_ready(losses)
+    final_loss = float(losses[-1])  # forces the whole chain (4-byte fetch)
     dt = time.perf_counter() - t0
+    log(f"final loss after bench chain: {final_loss:.3f}")
     trainer.state = state
     return (chunk_steps * reps) / dt
 
@@ -93,26 +151,50 @@ def latency_mode(trainer, reps: int = 200):
         f"p90={np.percentile(t,90):.0f} p99={np.percentile(t,99):.0f}")
 
 
+METRIC_NAMES = {
+    "linear": "linear_vae_train_steps_per_sec_per_chip",
+    "sigmoid": "sigmoid_vae_train_steps_per_sec_per_chip",
+    "sphere": "sphere_mlp200_vae_train_steps_per_sec_per_chip",
+    "grid": "linear_sweep21_aggregate_steps_per_sec_per_chip",
+}
+
+
 def main() -> int:
+    import argparse
+
     from vae_training_tpu.runio import enable_compile_cache
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="linear",
+                   choices=["linear", "sigmoid", "sphere", "grid"],
+                   help="Which PARITY.md headline workload to measure.")
+    p.add_argument("--latency", action="store_true",
+                   help="Also report per-step dispatch latency percentiles "
+                        "(stderr).")
+    args = p.parse_args()
 
     enable_compile_cache()
     log(f"devices: {jax.devices()}")
-    try:
-        trainer = build("auto")
-        log(f"backend fns: {trainer.fns!r}")
-        steps_per_sec = measure(trainer)
-    except Exception as e:  # scoring insurance: fall back to the XLA path
-        log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
-        trainer = build("xla")
-        steps_per_sec = measure(trainer)
+    trainer = None
+    if args.config == "grid":
+        sweep = build_grid("auto")
+        steps_per_sec = measure_grid(sweep)
+    else:
+        try:
+            trainer = build("auto", args.config)
+            log(f"backend fns: {trainer.fns!r}")
+            steps_per_sec = measure(trainer)
+        except Exception as e:  # scoring insurance: fall back to the XLA path
+            log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
+            trainer = build("xla", args.config)
+            steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
-    if "--latency" in sys.argv:
+    if args.latency and trainer is not None:
         latency_mode(trainer)
     print(
         json.dumps(
             {
-                "metric": "linear_vae_train_steps_per_sec_per_chip",
+                "metric": METRIC_NAMES[args.config],
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
