@@ -25,12 +25,19 @@ LATENT = 6
 HIDDEN = "24|24"
 
 
-def setup(tdv=True):
-    dataset = SphereDataset(dim=3, padding_dim=5)
+def setup(tdv=True, kind="sphere"):
+    if kind == "sigmoid":
+        from vae_training_tpu.data import SigmoidDataset
+
+        dataset = SigmoidDataset.create(2, dimension=3, padding_dimension=4)
+        dataset_name = "sigmoid"
+    else:
+        dataset = SphereDataset(dim=3, padding_dim=5)
+        dataset_name = None
     model = build_vae(
         data_dim=dataset.dimension, latent_dim=LATENT,
         encoder_layer_sizes=HIDDEN, decoder_layer_sizes=HIDDEN,
-        epsilon=-3.0, tunable_decoder_var=tdv,
+        epsilon=-3.0, tunable_decoder_var=tdv, dataset_name=dataset_name,
     )
     tx = optax.adam(1e-3)
     params = model.init(
@@ -132,6 +139,81 @@ def test_mlp_kernel_matches_xla(tdv):
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
     assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("tdv", [True, False])
+def test_mlp_dual_decoder_kernel_matches_xla(tdv):
+    """Sigmoid dataset + hidden-layer dual decoder (σ(SigMLP)+MLP):
+    the kernel's second decoder stack and its backward vs jax.grad+optax."""
+    n_steps = 4
+    dataset, model, tx, state = setup(tdv=tdv, kind="sigmoid")
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+    rng = np.random.RandomState(11)
+    z = rng.randn(n_steps, BATCH, dataset.dim).astype(np.float32)
+    sig = 1 / (1 + np.exp(-(z @ np.asarray(dataset.A))))
+    pad = np.zeros((n_steps, BATCH, D - dataset.dim - 1), np.float32)
+    xs = np.concatenate([z, sig, pad], axis=-1)
+    z1s = rng.randn(n_steps, BATCH, LATENT).astype(np.float32)
+    z2s = rng.randn(n_steps, BATCH, D).astype(np.float32)
+    xp, z1p, z2p = pad_noise(xs, z1s, z2s, n_steps)
+
+    packed = pack_mlp_state(state, enc_dims, dec_dims, tdv, dual=True)
+    new_packed, losses = run_mlp_fused_chunk(
+        n_steps=n_steps, seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32), packed=packed,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sigmoid", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=tdv, lr=1e-3,
+        external_noise=(xp, z1p, z2p), interpret=True, dual=True,
+    )
+    kstate = unpack_mlp_state(state, new_packed, n_steps, enc_dims, dec_dims,
+                              tdv, LATENT, dual=True)
+    xparams, xopt, xlosses = run_xla_steps(
+        model, tx, state, jnp.asarray(xs), jnp.asarray(z1s), jnp.asarray(z2s))
+
+    np.testing.assert_allclose(np.asarray(losses), xlosses, rtol=3e-4,
+                               atol=3e-4)
+    assert_trees_close(kstate.params, xparams, rtol=1e-3, atol=1e-5)
+    ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
+    assert int(ka.count) == int(xa.count) == n_steps
+    assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
+
+
+def test_mlp_dual_padded_regions_stay_zero():
+    n_steps = 3
+    dataset, model, tx, state = setup(tdv=True, kind="sigmoid")
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+    rng = np.random.RandomState(4)
+    z = rng.randn(n_steps, BATCH, dataset.dim).astype(np.float32)
+    sig = 1 / (1 + np.exp(-(z @ np.asarray(dataset.A))))
+    pad = np.zeros((n_steps, BATCH, D - dataset.dim - 1), np.float32)
+    xs = np.concatenate([z, sig, pad], axis=-1)
+    z1s = rng.randn(n_steps, BATCH, LATENT).astype(np.float32)
+    z2s = rng.randn(n_steps, BATCH, D).astype(np.float32)
+    packed = pack_mlp_state(state, enc_dims, dec_dims, True, dual=True)
+    new_packed, _ = run_mlp_fused_chunk(
+        n_steps=n_steps, seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32), packed=packed,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sigmoid", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=True, lr=1e-3,
+        external_noise=pad_noise(xs, z1s, z2s, n_steps), interpret=True,
+        dual=True,
+    )
+    from vae_training_tpu.kernels.mlp_vae import _all_layer_dims
+
+    all_dims = _all_layer_dims(enc_dims, dec_dims, True)
+    for li, (din, dout) in enumerate(all_dims):
+        w = np.asarray(new_packed[0][li])
+        assert np.all(w[din:, :] == 0) and np.all(w[:, dout:] == 0), li
+        b = np.asarray(new_packed[1][li])
+        assert np.all(b[0, dout:] == 0), li
 
 
 def test_mlp_padded_regions_stay_zero():

@@ -2,8 +2,9 @@
 
 ``--kernels auto`` tries the fused kernels in order: the linear kernel
 (pure-linear encoder/decoder on the linear_gaussian/sigmoid datasets) and
-then the MLP kernel (ReLU MLP stacks on sphere/linear_gaussian, hidden
-widths <= 512 after padding); batch <= 128 for both. ``--kernels pallas``
+then the MLP kernel (ReLU MLP stacks on sphere/linear_gaussian, and the
+sigmoid dataset's dual-decoder MLPs, hidden widths <= 512 after padding);
+batch <= 128 for both. ``--kernels pallas``
 requires one of them (raising with both reasons if unsupported);
 ``--kernels xla`` always uses the scan-based XLA path.
 """

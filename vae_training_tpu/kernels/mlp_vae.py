@@ -1,8 +1,11 @@
-"""Pallas TPU kernel: fused multi-step MLP-VAE training (sphere sweep).
+"""Pallas TPU kernel: fused multi-step MLP-VAE training (sphere sweep,
+linear-gaussian MLPs, and sigmoid dual-decoder MLPs).
 
 Generalizes kernels/linear_vae.py to arbitrary ReLU MLP encoder/decoders
 (e.g. the sphere sweep's 200|200|200 stacks,
-/root/reference/sphere_vae_padding_expts.sh). Why it wins: on the XLA scan
+/root/reference/sphere_vae_padding_expts.sh), including the sigmoid
+dataset's dual decoder x̂ = σ(SigMLP(s)) + MLP(s)
+(/root/reference/networks.py:75-78). Why it wins: on the XLA scan
 path every step re-reads all weights + Adam moments from HBM (~6 MB for the
 200³ config → HBM-bound at ~33 µs/step); here the whole parameter set and
 optimizer state stay resident in VMEM for the entire K-step chunk, so each
@@ -71,7 +74,7 @@ def _make_kernel(
     latent_dim: int,
     enc_dims: List[Tuple[int, int]],
     dec_dims: List[Tuple[int, int]],
-    dataset_kind: str,  # "sphere" | "linear"
+    dataset_kind: str,  # "sphere" | "linear" | "sigmoid"
     intrinsic_dim: int,
     var_added: float,
     eps_const: float,
@@ -79,11 +82,16 @@ def _make_kernel(
     lr: float,
     external_noise: bool,
     grid: bool = False,  # one grid step per sweep seed (lead dim 1 blocks)
+    dual: bool = False,  # sigmoid-dataset decoder pair: x̂ = σ(Sig(s)) + Dec(s)
 ):
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
     n_enc, n_dec = len(enc_dims), len(dec_dims)
-    n_w = n_enc + n_dec
+    # weight-list layout: encoder stack, decoder stack, [sigmoid-head stack]
+    # (the SigDecoder mirrors the decoder's dims — models/networks.py:87-90,
+    # /root/reference/networks.py:75-78)
+    n_sig = n_dec if dual else 0
+    n_w = n_enc + n_dec + n_sig
     inv_b = 1.0 / batch
     # activation/noise blocks span only the batch's 8-aligned row tile (in
     # test mode too, so the equivalence suite exercises the tiled path)
@@ -135,6 +143,9 @@ def _make_kernel(
         dat_m = _col_mask(data_dim)
         int_m = _col_mask(intrinsic_dim)
         row_m = _row_mask(batch, rows)
+        if dataset_kind == "sigmoid":
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            sig_col_m = (col_ids == intrinsic_dim).astype(jnp.float32)
 
         def dotf(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -193,6 +204,12 @@ def _make_kernel(
                     norm2 = jnp.sum(g * g, axis=1, keepdims=True)
                     x = g * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
                     x = x * int_m  # live cols only (dim == intrinsic here)
+                elif dataset_kind == "sigmoid":
+                    # Y = [z, σ(z·A), 0-pad]: A's column sits at a_t[:, dim]
+                    # so the matmul lands the logit in the σ-coordinate col
+                    n_int = n_raw * int_m
+                    logit = dotf(n_int, a_t)
+                    x = n_int + jax.nn.sigmoid(logit) * sig_col_m
                 else:
                     n_int = n_raw * int_m
                     x = dotf(n_int, a_t)
@@ -209,8 +226,11 @@ def _make_kernel(
 
             be_w = [w for w in ws[:n_enc]]
             be_b = [b for b in bs[:n_enc]]
-            de_w = [w for w in ws[n_enc:]]
-            de_b = [b for b in bs[n_enc:]]
+            de_w = [w for w in ws[n_enc:n_enc + n_dec]]
+            de_b = [b for b in bs[n_enc:n_enc + n_dec]]
+            if dual:
+                sg_w = [w for w in ws[n_enc + n_dec:]]
+                sg_b = [b for b in bs[n_enc + n_dec:]]
 
             ep = vec[2:3, :] * lat_m
             if tdv:
@@ -224,6 +244,12 @@ def _make_kernel(
             sdev = jnp.exp(ep * 0.5) * lat_m
             s = mu + sdev * z1
             y_raw, dec_masks, dec_acts = mlp_fwd(s, de_w, de_b, dec_dims)
+            if dual:
+                # x̂ = σ(SigDecoder(s)) + Decoder(s); mask σ's output —
+                # padded cols would otherwise see σ(0) = 0.5
+                u_raw, sig_masks, sig_acts = mlp_fwd(s, sg_w, sg_b, dec_dims)
+                sig_u = jax.nn.sigmoid(u_raw)
+                y_raw = y_raw + sig_u
             y = (y_raw * dat_m + z2 * jnp.exp(eps * 0.5)) * row_m
             r = y - x
             inv_var = jnp.exp(-eps)
@@ -241,6 +267,10 @@ def _make_kernel(
             g_y = r * (inv_var * inv_b)
             g_dec_out = g_y * dat_m
             g_de_w, g_de_b, g_s = mlp_bwd(g_dec_out, de_w, dec_masks, dec_acts)
+            if dual:
+                g_u = g_dec_out * sig_u * (1.0 - sig_u)
+                g_sg_w, g_sg_b, g_s2 = mlp_bwd(g_u, sg_w, sig_masks, sig_acts)
+                g_s = g_s + g_s2
             g_mu = (g_s + mu * inv_b) * lat_m
             g_en_w, g_en_b, _ = mlp_bwd(g_mu, be_w, enc_masks, enc_acts)
             g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
@@ -257,8 +287,8 @@ def _make_kernel(
                  jnp.zeros((4, LANE), jnp.float32)], axis=0)
 
             # --- Adam -------------------------------------------------------
-            g_all_w = g_en_w + g_de_w
-            g_all_b = g_en_b + g_de_b
+            g_all_w = g_en_w + g_de_w + (g_sg_w if dual else [])
+            g_all_b = g_en_b + g_de_b + (g_sg_b if dual else [])
             new_ws, new_mws, new_vws = [], [], []
             new_bs, new_mbs, new_vbs = [], [], []
             for li in range(n_w):
@@ -306,30 +336,44 @@ def _make_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _padded_layer_shapes(enc_dims, dec_dims):
-    shapes = []
-    for din, dout in list(enc_dims) + list(dec_dims):
-        shapes.append((pad_dim(din), pad_dim(dout)))
-    return shapes
+def _layer_groups(n_enc, n_dec, dual):
+    """(group name, layer count) in the packed weight-list order."""
+    groups = [("Encoder", n_enc), ("Decoder", n_dec)]
+    if dual:
+        groups.append(("SigDecoder", n_dec))
+    return groups
 
 
-def _collect_layers(tree, n_enc, n_dec):
-    """Ordered (kernel, bias) lists: Encoder FC0..n then Decoder FC0..n."""
+def _all_layer_dims(enc_dims, dec_dims, dual):
+    dims = list(enc_dims) + list(dec_dims)
+    if dual:
+        dims += list(dec_dims)  # SigDecoder mirrors the decoder stack
+    return dims
+
+
+def _padded_layer_shapes(enc_dims, dec_dims, dual=False):
+    return [(pad_dim(din), pad_dim(dout))
+            for din, dout in _all_layer_dims(enc_dims, dec_dims, dual)]
+
+
+def _collect_layers(tree, n_enc, n_dec, dual=False):
+    """Ordered (kernel, bias) lists: Encoder, Decoder, [SigDecoder] FC0..n."""
     ks, bs = [], []
-    for group, count in (("Encoder", n_enc), ("Decoder", n_dec)):
+    for group, count in _layer_groups(n_enc, n_dec, dual):
         for i in range(count):
             ks.append(tree[group][f"FC{i}"]["kernel"])
             bs.append(tree[group][f"FC{i}"]["bias"])
     return ks, bs
 
 
-def pack_mlp_state(state: TrainState, enc_dims, dec_dims, tdv: bool):
+def pack_mlp_state(state: TrainState, enc_dims, dec_dims, tdv: bool,
+                   dual: bool = False):
     n_enc, n_dec = len(enc_dims), len(dec_dims)
-    shapes = _padded_layer_shapes(enc_dims, dec_dims)
+    shapes = _padded_layer_shapes(enc_dims, dec_dims, dual)
     adam = _adam_state(state.opt_state)
 
     def pack_tree(tree):
-        ks, bs = _collect_layers(tree, n_enc, n_dec)
+        ks, bs = _collect_layers(tree, n_enc, n_dec, dual)
         ws = [_pack_mat(shapes[i], ks[i]) for i in range(len(ks))]
         bbs = []
         for i, b in enumerate(bs):
@@ -348,16 +392,17 @@ def pack_mlp_state(state: TrainState, enc_dims, dec_dims, tdv: bool):
 
 
 def unpack_mlp_state(state: TrainState, packed, n_steps, enc_dims, dec_dims,
-                     tdv: bool, latent_dim: int) -> TrainState:
+                     tdv: bool, latent_dim: int,
+                     dual: bool = False) -> TrainState:
     n_enc, n_dec = len(enc_dims), len(dec_dims)
-    all_dims = list(enc_dims) + list(dec_dims)
+    all_dims = _all_layer_dims(enc_dims, dec_dims, dual)
     adam = _adam_state(state.opt_state)
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
 
     def unpack_tree(ws, bs, vec, template):
         out = dict(template)
         li = 0
-        for group, count in (("Encoder", n_enc), ("Decoder", n_dec)):
+        for group, count in _layer_groups(n_enc, n_dec, dual):
             layers = dict(out[group])
             for i in range(count):
                 din, dout = all_dims[li]
@@ -409,6 +454,7 @@ def run_mlp_fused_chunk(
     external_noise=None,
     interpret: bool = False,
     grid_n: int = 0,
+    dual: bool = False,
 ):
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
@@ -416,6 +462,7 @@ def run_mlp_fused_chunk(
         dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None, grid=grid_n > 0,
+        dual=dual,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
@@ -462,7 +509,7 @@ def run_mlp_fused_chunk(
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)),
         )
     flops = sum(2 * pad_dim(i) * pad_dim(o) * pad_dim(batch) * 3
-                for i, o in list(enc_dims) + list(dec_dims))
+                for i, o in _all_layer_dims(enc_dims, dec_dims, dual))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -503,20 +550,31 @@ def run_mlp_fused_chunk(
 
 def mlp_pallas_supported(model, dataset, cfg,
                          grid_over_mesh: bool = False) -> Tuple[bool, str]:
-    from ..data.synthetic import LinearGaussianDataset, SphereDataset
+    from ..data.synthetic import (
+        LinearGaussianDataset,
+        SigmoidDataset,
+        SphereDataset,
+    )
 
     if jax.default_backend() not in ("tpu", "axon"):
         return False, f"backend {jax.default_backend()!r} is not a TPU"
     if isinstance(dataset, SphereDataset):
         if dataset.padding_dim + dataset.dim > LANE:
             return False, "ambient dim too large"
+        if model.dual_sigmoid_decoder:
+            return False, "dual decoder expects the sigmoid dataset"
     elif isinstance(dataset, LinearGaussianDataset):
         if dataset.dimension > LANE or dataset.intrinsic_dim > LANE:
             return False, "dims too large"
+        if model.dual_sigmoid_decoder:
+            return False, "dual decoder expects the sigmoid dataset"
+    elif isinstance(dataset, SigmoidDataset):
+        if not model.dual_sigmoid_decoder:
+            return False, "sigmoid dataset expects the dual decoder"
+        if dataset.dimension > LANE:
+            return False, "ambient dim too large"
     else:
-        return False, "MLP kernel supports sphere and linear_gaussian"
-    if model.dual_sigmoid_decoder:
-        return False, "dual decoder not supported by the MLP kernel"
+        return False, "MLP kernel supports sphere, linear_gaussian, sigmoid"
     if len(model.encoder_features) < 2 and len(model.decoder_features) < 2:
         return False, "pure-linear configs use the linear kernel"
     if cfg.batch_size > LANE:
@@ -536,14 +594,14 @@ def mlp_pallas_supported(model, dataset, cfg,
 @lru_cache(maxsize=64)
 def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
                          dataset_kind, intrinsic_dim, var_added, eps_const,
-                         tdv, lr):
+                         tdv, lr, dual=False):
     """One jitted chunk fn per static config, shared across dataset seeds
     (the manifold matrix is a runtime argument)."""
     enc_dims, dec_dims = list(enc_dims), list(dec_dims)
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
     def train_chunk(a_t, state: TrainState, n_steps: int):
-        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv, dual=dual)
         new_packed, losses = run_mlp_fused_chunk(
             n_steps=n_steps,
             seed_and_t0=chunk_seed_and_t0(state),
@@ -560,9 +618,11 @@ def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
             eps_const=eps_const,
             tdv=tdv,
             lr=lr,
+            dual=dual,
         )
         new_state = unpack_mlp_state(
-            state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim
+            state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim,
+            dual=dual,
         )
         return new_state, losses
 
@@ -570,11 +630,12 @@ def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
 
 
 def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
-    from ..data.synthetic import SphereDataset
+    from ..data.synthetic import SigmoidDataset, SphereDataset
 
     data_dim = dataset.dimension
     latent_dim = model.latent_dim
     tdv = model.tunable_decoder_var
+    dual = model.dual_sigmoid_decoder
     enc_dims = _layer_dims(model.encoder_features, data_dim)
     dec_dims = _layer_dims(model.decoder_features, latent_dim)
     if isinstance(dataset, SphereDataset):
@@ -582,6 +643,13 @@ def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         intrinsic_dim = dataset.dim
         var_added = 0.0
         a_t = jnp.zeros((LANE, LANE), jnp.float32)
+    elif isinstance(dataset, SigmoidDataset):
+        dataset_kind = "sigmoid"
+        intrinsic_dim = dataset.dim
+        var_added = 0.0
+        # A's column lands the σ-logit in the σ-coordinate column (= dim).
+        a_t = jnp.zeros((LANE, LANE), jnp.float32).at[
+            : dataset.dim, dataset.dim].set(dataset.A[:, 0])
     else:
         dataset_kind = "linear"
         intrinsic_dim = dataset.intrinsic_dim
@@ -593,7 +661,7 @@ def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         cfg.batch_size, data_dim, latent_dim,
         tuple(map(tuple, enc_dims)), tuple(map(tuple, dec_dims)),
         dataset_kind, intrinsic_dim, float(var_added), float(model.epsilon),
-        tdv, float(cfg.learning_rate),
+        tdv, float(cfg.learning_rate), dual,
     )
 
     def train_chunk(state: TrainState, n_steps: int):

@@ -326,8 +326,8 @@ class GridTrainer:
         return self._wrap_grid_chunk(rows_fn, extras=(a_t,))
 
     def _build_mlp_pallas_grid_chunk(self):
-        """Grid mode of the fused MLP kernel (sphere/linear MLP configs)."""
-        from ..data.synthetic import SphereDataset
+        """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs)."""
+        from ..data.synthetic import SigmoidDataset, SphereDataset
         from ..kernels.linear_vae import _pack_mat, chunk_seed_and_t0
         from ..kernels.mlp_vae import (
             LANE,
@@ -345,6 +345,7 @@ class GridTrainer:
         model, cfg = self.model, self.cfg
         data_dim, latent_dim = self.data_dim, self.latent_dim
         tdv = model.tunable_decoder_var
+        dual = model.dual_sigmoid_decoder
         n_seeds = len(self.seeds)
         enc_dims = _layer_dims(model.encoder_features, data_dim)
         dec_dims = _layer_dims(model.decoder_features, latent_dim)
@@ -352,6 +353,14 @@ class GridTrainer:
             dataset_kind, var_added = "sphere", 0.0
             intrinsic_dim = self.datasets[0].dim
             a_t = jnp.zeros((n_seeds, LANE, LANE), jnp.float32)
+        elif isinstance(self.datasets[0], SigmoidDataset):
+            dataset_kind, var_added = "sigmoid", 0.0
+            intrinsic_dim = self.datasets[0].dim
+            a_t = jnp.stack([
+                jnp.zeros((LANE, LANE), jnp.float32)
+                .at[: d.dim, d.dim].set(d.A[:, 0])
+                for d in self.datasets
+            ])
         else:
             dataset_kind = "linear"
             var_added = self.datasets[0].var_added
@@ -364,7 +373,8 @@ class GridTrainer:
             grid_n = a_t_rows.shape[0]  # rows owned here (shard under --mesh)
             seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
             packed = jax.vmap(
-                lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv)
+                lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv,
+                                          dual=dual)
             )(state_grid)
             new_packed, losses = run_mlp_fused_chunk(
                 n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_rows, packed=packed,
@@ -372,13 +382,13 @@ class GridTrainer:
                 latent_dim=latent_dim, enc_dims=enc_dims, dec_dims=dec_dims,
                 dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
-                lr=cfg.learning_rate, grid_n=grid_n,
+                lr=cfg.learning_rate, grid_n=grid_n, dual=dual,
             )
             new_grid = jax.vmap(
                 lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec:
                 unpack_mlp_state(
                     st, (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec),
-                    n_steps, enc_dims, dec_dims, tdv, latent_dim)
+                    n_steps, enc_dims, dec_dims, tdv, latent_dim, dual=dual)
             )(state_grid, *new_packed)
             return new_grid, losses
 
