@@ -21,6 +21,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 20_000.0  # /root/repo/BASELINE.json:5
 
@@ -73,6 +74,43 @@ def build(kernels: str = "auto", config: str = "linear"):
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
     trainer = Trainer(cfg, dataset, output_dir=".")
     return trainer
+
+
+def build_conv():
+    """Conv-VAE epoch-mode workload: 4096 synthetic 28x28 images (the
+    MNIST-scale config of BASELINE.json config 5), conv stack 32|64."""
+    from vae_training_tpu.config import RunConfig
+    from vae_training_tpu.data import get_dataset
+    from vae_training_tpu.train import Trainer
+
+    cfg = RunConfig(
+        name="bench_conv", dataset="image", image_source="synthetic",
+        image_size=28, num_images=4096, num_epochs=10, batch_size=128,
+        latent_dimension=16, conv_channels="32|64", learning_rate=1e-3,
+        epsilon=-1.0, tunable_decoder_var=True, tqdm=False,
+    ).validate()
+    dataset = get_dataset(cfg.dataset, 0, cfg)
+    return Trainer(cfg, dataset, output_dir="."), dataset
+
+
+def measure_conv(trainer, dataset, reps: int = 30) -> float:
+    """Minibatch steps/sec of the compiled epoch program (one epoch = one
+    device program; completion forced through the state chain)."""
+    n_batches = dataset.n // trainer.cfg.batch_size
+    state = trainer.state
+    state, losses = trainer.epoch_chunk(state, jnp.asarray(0), n_batches)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    for e in range(reps):
+        state, losses = trainer.epoch_chunk(
+            state, jnp.asarray(e + 1), n_batches)
+    final_loss = float(losses[-1])
+    dt = time.perf_counter() - t0
+    log(f"final loss after bench chain: {final_loss:.3f}")
+    log(f"epochs/sec: {reps / dt:.2f} ({n_batches} batches of "
+        f"{trainer.cfg.batch_size} per epoch)")
+    trainer.state = state
+    return (reps * n_batches) / dt
 
 
 def build_grid(kernels: str = "auto"):
@@ -156,6 +194,7 @@ METRIC_NAMES = {
     "sigmoid": "sigmoid_vae_train_steps_per_sec_per_chip",
     "sphere": "sphere_mlp200_vae_train_steps_per_sec_per_chip",
     "grid": "linear_sweep21_aggregate_steps_per_sec_per_chip",
+    "conv": "conv_vae_train_steps_per_sec_per_chip",
 }
 
 
@@ -166,7 +205,7 @@ def main() -> int:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="linear",
-                   choices=["linear", "sigmoid", "sphere", "grid"],
+                   choices=["linear", "sigmoid", "sphere", "grid", "conv"],
                    help="Which PARITY.md headline workload to measure.")
     p.add_argument("--latency", action="store_true",
                    help="Also report per-step dispatch latency percentiles "
@@ -179,6 +218,9 @@ def main() -> int:
     if args.config == "grid":
         sweep = build_grid("auto")
         steps_per_sec = measure_grid(sweep)
+    elif args.config == "conv":
+        conv_trainer, dataset = build_conv()
+        steps_per_sec = measure_conv(conv_trainer, dataset)
     else:
         try:
             trainer = build("auto", args.config)

@@ -101,6 +101,61 @@ def test_epoch_mode_end_to_end(tmp_outdir):
     assert len(evals) == 4
 
 
+def test_from_npz_corpus_end_to_end(tmp_outdir):
+    """Real-file image path: --image_source <corpus.npz> through the full
+    CLI pipeline (checked-in MNIST-scale 28x28 uint8 corpus,
+    tests/data/tiny_digits.npz)."""
+    from run import main
+
+    corpus = os.path.join(os.path.dirname(__file__), "data",
+                          "tiny_digits.npz")
+    cfg = RunConfig(
+        name="imgz", dataset="image", image_source=corpus,
+        num_epochs=2, batch_size=16, latent_dimension=8,
+        conv_channels="8|16", learning_rate=1e-3, epsilon=-1.0,
+        tunable_decoder_var=True, overwrite=True, tqdm=False,
+        data_dir=tmp_outdir,
+    ).validate()
+    assert main(cfg) == 0
+    out = os.path.join(tmp_outdir, "imgz")
+    files = set(os.listdir(out))
+    assert {"args.json", "losses.npz", "model.pkl", "output_0.png"} <= files
+    z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
+    # 2 epochs x 4 batches + 3 evals
+    assert z["VAE Loss"].shape == (11,)
+    assert np.all(np.isfinite(z["VAE Loss"]))
+
+
+def test_epoch_mode_mesh_dp(tmp_outdir):
+    """Epoch-mode training over a dp mesh: batch sharded per device,
+    gradients pmean'd; runs the full engine loop on the 8-device CPU mesh
+    and still converges."""
+    cfg = RunConfig(
+        name="imgm", dataset="image", image_source="synthetic",
+        image_size=16, num_images=256, num_epochs=4, batch_size=32,
+        latent_dimension=8, conv_channels="8|16", learning_rate=1e-3,
+        epsilon=-1.0, tunable_decoder_var=True, overwrite=True, tqdm=False,
+        data_dir=tmp_outdir, mesh="dp=8",
+    ).validate()
+    out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+    ds = get_dataset("image", 0, cfg)
+    trainer = Trainer(cfg, ds, out)
+    first = float(trainer.compute_stats()["VAE Loss"])
+    trainer.train()
+    last = float(trainer.compute_stats()["VAE Loss"])
+    assert last < first
+    assert int(trainer.state.step) == 4 * (256 // 32)
+    # indivisible batch rejected with a clear message
+    bad = RunConfig(
+        name="imgbad", dataset="image", image_source="synthetic",
+        image_size=16, num_images=64, batch_size=12, mesh="dp=8",
+        overwrite=True, tqdm=False, data_dir=tmp_outdir,
+    ).validate()
+    ds_bad = get_dataset("image", 0, bad)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(bad, ds_bad, out)
+
+
 def test_epoch_training_converges(tmp_outdir):
     cfg = RunConfig(
         name="imgc", dataset="image", image_source="synthetic",

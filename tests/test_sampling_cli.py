@@ -41,7 +41,10 @@ def test_sample_cli_roundtrip(tmp_path):
     assert not np.array_equal(z["samples"], np.load(out3)["samples"])
 
 
-def test_epoch_mode_rejects_mesh(tmp_path):
+def test_epoch_mode_rejects_tp_mesh(tmp_path):
+    """Epoch mode shards the batch over dp (supported — see
+    tests/test_images_and_conv.py); a tp axis has nothing to shard and is
+    rejected with a clear message."""
     import pytest
 
     from vae_training_tpu.config import RunConfig
@@ -52,11 +55,10 @@ def test_epoch_mode_rejects_mesh(tmp_path):
     cfg = RunConfig(
         name="em", dataset="image", image_source="synthetic", image_size=16,
         num_images=64, num_epochs=1, batch_size=16, latent_dimension=4,
-        conv_channels="8|16", mesh="dp=2", overwrite=True, tqdm=False,
+        conv_channels="8|16", mesh="dp=2,tp=2", overwrite=True, tqdm=False,
         data_dir=str(tmp_path),
     ).validate()
     out = make_output_dir(cfg.name, True, cfg, data_dir=cfg.data_dir)
     ds = get_dataset("image", 0, cfg)
-    trainer = Trainer(cfg, ds, out)
-    with pytest.raises(NotImplementedError, match="mesh"):
-        trainer.train()
+    with pytest.raises(ValueError, match="dp"):
+        Trainer(cfg, ds, out)

@@ -147,8 +147,19 @@ class Trainer:
         if dataset.is_epochs:
             from .step import make_epoch_chunk
 
+            mesh = None
+            if cfg.mesh:
+                from ..parallel.mesh import make_mesh, parse_mesh_spec
+
+                axes = parse_mesh_spec(cfg.mesh)
+                if axes.get("tp", 1) > 1:
+                    raise ValueError(
+                        "epoch-mode (image) training shards the batch over "
+                        "dp; use a pure dp spec (e.g. --mesh dp=8)"
+                    )
+                mesh = make_mesh(cfg.mesh)
             self.epoch_chunk = make_epoch_chunk(
-                self.model, dataset, self.tx, cfg.batch_size
+                self.model, dataset, self.tx, cfg.batch_size, mesh=mesh
             )
         self.epoch_num = 0
 
@@ -208,8 +219,17 @@ class Trainer:
             if self.cfg.kernels == "pallas":
                 raise ValueError(
                     "--kernels pallas is single-chip; remove --mesh or use "
-                    "--kernels auto/xla for mesh training"
+                    "--kernels auto/xla for mesh training (or shard a seed "
+                    "grid: --seed_grid ... --mesh dp=N)"
                 )
+            if self.dataset.is_epochs:
+                from ..parallel.mesh import parse_mesh_spec
+
+                if parse_mesh_spec(self.cfg.mesh).get("tp", 1) > 1:
+                    raise ValueError(
+                        "epoch-mode (image) training shards the batch over "
+                        "dp; use a pure dp spec (e.g. --mesh dp=8)"
+                    )
             from ..parallel.api import make_parallel_step_fns
 
             return make_parallel_step_fns(
@@ -400,11 +420,6 @@ class Trainer:
         Cadence mirrors /root/reference/model.py:176-193: stats before
         training, then per epoch train-all-batches → stats → plot → save.
         """
-        if self.cfg.mesh:
-            raise NotImplementedError(
-                "mesh training for epoch-mode datasets is not wired yet; "
-                "drop --mesh"
-            )
         n_batches = self.dataset.n // self.cfg.batch_size
         if n_batches == 0:
             raise ValueError("batch_size exceeds the dataset size")

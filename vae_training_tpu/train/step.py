@@ -166,7 +166,7 @@ def make_step_fns(
 
 
 def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
-                     batch_size: int) -> Callable:
+                     batch_size: int, mesh=None) -> Callable:
     """One FULL epoch as a single compiled program (epoch-mode datasets).
 
     The dataset array lives on device; the epoch is a scan over minibatch
@@ -174,6 +174,12 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
     for the reference's torch-dataloader epoch loop
     (/root/reference/model.py:176-193). Returns
     ``epoch_chunk(state, epoch, n_batches) -> (state, losses[n_batches])``.
+
+    With ``mesh`` (a dp-axis Mesh), each minibatch is split over the data
+    axis: every device takes its contiguous slice of the epoch permutation,
+    draws its own reparameterization noise (per-device fold_in stream, like
+    parallel/dp.py), and gradients are pmean'd over ICI — params stay
+    replicated and updates are identical on every device.
     """
     latent_dim = model.latent_dim
     data_dim = dataset.dimension
@@ -187,24 +193,58 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    @partial(jax.jit, static_argnames=("n_batches",), donate_argnames=("state",))
-    def epoch_chunk(state: TrainState, epoch: jax.Array, n_batches: int):
+    if mesh is not None:
+        ndev = mesh.shape["dp"]
+        if batch_size % ndev != 0:
+            raise ValueError(
+                f"--batch_size {batch_size} must be divisible by dp={ndev}"
+            )
+        local_bs = batch_size // ndev
+
+    def epoch_body(state: TrainState, epoch: jax.Array, n_batches: int):
         perm = jax.random.permutation(
             jax.random.fold_in(state.data_key, epoch), n_total
         )
 
         def body(s, i):
-            idx = jax.lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+            if mesh is None:
+                base = i * batch_size
+                bs = batch_size
+                kz = jax.random.fold_in(s.model_key, s.step)
+            else:
+                didx = jax.lax.axis_index("dp")
+                base = i * batch_size + didx * local_bs
+                bs = local_bs
+                kz = jax.random.fold_in(
+                    jax.random.fold_in(s.model_key, s.step), didx)
+            idx = jax.lax.dynamic_slice(perm, (base,), (bs,))
             batch = jnp.take(flat_images, idx, axis=0)
-            kz = jax.random.fold_in(s.model_key, s.step)
-            z = sample_z(kz, batch_size, latent_dim, data_dim)
+            z = sample_z(kz, bs, latent_dim, data_dim)
             z1, z2 = split_z(z, latent_dim)
             loss, grads = grad_fn(s.params, batch, z1, z2)
+            if mesh is not None:
+                # equal shards ⇒ mean-of-means is the global-batch mean
+                grads = jax.lax.pmean(grads, "dp")
+                loss = jax.lax.pmean(loss, "dp")
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
             return s.replace(params=params, opt_state=opt_state,
                              step=s.step + 1), loss
 
         return jax.lax.scan(body, state, jnp.arange(n_batches))
+
+    @partial(jax.jit, static_argnames=("n_batches",), donate_argnames=("state",))
+    def epoch_chunk(state: TrainState, epoch: jax.Array, n_batches: int):
+        if mesh is None:
+            return epoch_body(state, epoch, n_batches)
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            partial(epoch_body, n_batches=n_batches),
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs replicated by construction (pmean)
+        )(state, epoch)
 
     return epoch_chunk
