@@ -253,7 +253,8 @@ def test_mlp_grid_rows_match_independent_solo_runs():
     packed_g = stack([
         pack_mlp_state(st, enc_dims, dec_dims, tdv) for st in states
     ])
-    seeds = jnp.tile(jnp.array([[7, 0]], jnp.int32), (3, 1))
+    seeds = jnp.tile(jnp.array([[7, 0, D, mlp_t.LATENT, dataset.dim]],
+                               jnp.int32), (3, 1))
     noise_g = tuple(jnp.stack([n[j] for n in noises]) for j in range(3))
     new_packed_g, losses_g = run_mlp_fused_chunk(
         n_steps=N_STEPS, seed_and_t0=seeds,
@@ -277,6 +278,81 @@ def test_mlp_grid_rows_match_independent_solo_runs():
                 err_msg=f"row {i} buffer {j}")
 
 
+def test_mlp_grid_mixed_dims_rows_match_solo():
+    """MLP-kernel rows with DIFFERENT (data_dim, latent_dim) in ONE grid
+    launch (the one-launch sphere sweep): scalar-prefetched dims must
+    reproduce each solo run bitwise. Hidden widths are uniform so the
+    padded buffer layout matches across rows."""
+    from vae_training_tpu.data import SphereDataset
+    from vae_training_tpu.models import build_vae
+    from vae_training_tpu.train import TrainState
+    import optax
+
+    tdv = True
+    rows = []  # (state, noise, enc_dims, dec_dims, dims)
+    for dd, pad, ld in ((3, 3, 6), (5, 8, 10)):
+        dataset = SphereDataset(dim=dd, padding_dim=pad)
+        model = build_vae(
+            data_dim=dataset.dimension, latent_dim=ld,
+            encoder_layer_sizes="24|24", decoder_layer_sizes="24|24",
+            epsilon=-3.0, tunable_decoder_var=tdv)
+        params = model.init(
+            jax.random.PRNGKey(dd),
+            jnp.zeros((1, dataset.dimension)), jnp.zeros((1, ld)),
+            jnp.zeros((1, dataset.dimension)))["params"]
+        state = TrainState.create(
+            params=params, tx=optax.adam(1e-3),
+            model_key=jax.random.PRNGKey(1), data_key=jax.random.PRNGKey(2))
+        enc_dims = _layer_dims(model.encoder_features, dataset.dimension)
+        dec_dims = _layer_dims(model.decoder_features, ld)
+        rng = np.random.RandomState(dd)
+        D = dataset.dimension
+        g = rng.randn(N_STEPS, mlp_t.BATCH, dd).astype(np.float32)
+        on = g / np.linalg.norm(g, axis=-1, keepdims=True)
+        xs = np.zeros((N_STEPS, mlp_t.BATCH, D), np.float32)
+        xs[:, :, :dd] = on
+        z1s = rng.randn(N_STEPS, mlp_t.BATCH, ld).astype(np.float32)
+        z2s = rng.randn(N_STEPS, mlp_t.BATCH, D).astype(np.float32)
+        noise = mlp_t.pad_noise(xs, z1s, z2s, N_STEPS)
+        rows.append((state, noise, enc_dims, dec_dims, (D, ld, dd)))
+
+    packed_g = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0),
+        *[jax.tree_util.tree_map(
+            lambda x: x[None],
+            pack_mlp_state(st, e, d, tdv))
+          for st, _, e, d, _ in rows])
+    seeds = jnp.asarray([[7, 0, *dims] for *_, dims in rows], jnp.int32)
+    noise_g = tuple(jnp.stack([r[1][j] for r in rows]) for j in range(3))
+    enc0, dec0 = rows[0][2], rows[0][3]
+    new_packed_g, losses_g = run_mlp_fused_chunk(
+        n_steps=N_STEPS, seed_and_t0=seeds,
+        a_t=jnp.zeros((2, LANE, LANE), jnp.float32), packed=packed_g,
+        batch=mlp_t.BATCH, data_dim=rows[0][4][0], latent_dim=rows[0][4][1],
+        enc_dims=enc0, dec_dims=dec0, dataset_kind="sphere",
+        intrinsic_dim=rows[0][4][2], var_added=0.0, eps_const=-3.0,
+        tdv=tdv, lr=1e-3, external_noise=noise_g, interpret=True, grid_n=2,
+    )
+    losses_g = np.asarray(losses_g)
+    flat_g = _flatten_packed(new_packed_g)
+    for i, (state, noise, enc_dims, dec_dims, dims) in enumerate(rows):
+        packed = pack_mlp_state(state, enc_dims, dec_dims, tdv)
+        solo_packed, solo_losses = run_mlp_fused_chunk(
+            n_steps=N_STEPS, seed_and_t0=jnp.array([7, 0], jnp.int32),
+            a_t=jnp.zeros((LANE, LANE), jnp.float32), packed=packed,
+            batch=mlp_t.BATCH, data_dim=dims[0], latent_dim=dims[1],
+            enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",
+            intrinsic_dim=dims[2], var_added=0.0, eps_const=-3.0,
+            tdv=tdv, lr=1e-3, external_noise=noise, interpret=True,
+        )
+        np.testing.assert_array_equal(losses_g[i], np.asarray(solo_losses),
+                                      err_msg=f"row {i} losses")
+        for j, sb in enumerate(_flatten_packed(solo_packed)):
+            np.testing.assert_array_equal(
+                np.asarray(flat_g[j][i]), np.asarray(sb),
+                err_msg=f"row {i} buffer {j}")
+
+
 def test_mlp_grid1_unpack_matches_solo_state():
     """grid_n=1 end-to-end through pack → kernel → unpack equals solo."""
     tdv = False
@@ -294,7 +370,9 @@ def test_mlp_grid1_unpack_matches_solo_state():
     packed_g = stack([pack_mlp_state(state, enc_dims, dec_dims, tdv)])
     noise_g = tuple(n[None] for n in noise)
     new_packed_g, losses_g = run_mlp_fused_chunk(
-        n_steps=N_STEPS, seed_and_t0=jnp.array([[7, 0]], jnp.int32),
+        n_steps=N_STEPS,
+        seed_and_t0=jnp.array([[7, 0, D, mlp_t.LATENT, dataset.dim]],
+                              jnp.int32),
         a_t=jnp.zeros((1, LANE, LANE), jnp.float32), packed=packed_g,
         batch=mlp_t.BATCH, data_dim=D, latent_dim=mlp_t.LATENT,
         enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",

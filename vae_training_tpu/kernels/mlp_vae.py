@@ -131,21 +131,29 @@ def _make_kernel(
         loss_ref = refs[idx]
 
         if grid:
-            t0 = seed_ref[pl.program_id(0), 1].astype(jnp.float32)
+            # per-row scalars [seed, t0, data_dim, latent_dim, intrinsic]:
+            # dims ride the scalar-prefetch buffer so MIXED-dimension sweep
+            # rows share one launch (padded buffer shapes are identical —
+            # every dim ≤ LANE pads to LANE, hidden widths are uniform)
+            pid = pl.program_id(0)
+            t0 = seed_ref[pid, 1].astype(jnp.float32)
+            dd_i, ld_i, id_i = seed_ref[pid, 2], seed_ref[pid, 3], seed_ref[pid, 4]
             ld = lambda r: r[0]
             ldn = lambda r, i: r[0, i]  # noise blocks: leading seed axis 1
         else:
             t0 = seed_ref[1].astype(jnp.float32)
+            dd_i, ld_i, id_i = data_dim, latent_dim, intrinsic_dim
             ld = lambda r: r[:]
             ldn = lambda r, i: r[i]
         a_t = ld(a_t_ref)
-        lat_m = _col_mask(latent_dim)
-        dat_m = _col_mask(data_dim)
-        int_m = _col_mask(intrinsic_dim)
+        dd_f = jnp.asarray(dd_i).astype(jnp.float32)
+        lat_m = _col_mask(ld_i)
+        dat_m = _col_mask(dd_i)
+        int_m = _col_mask(id_i)
         row_m = _row_mask(batch, rows)
         if dataset_kind == "sigmoid":
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-            sig_col_m = (col_ids == intrinsic_dim).astype(jnp.float32)
+            sig_col_m = (col_ids == id_i).astype(jnp.float32)
 
         def dotf(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -258,9 +266,11 @@ def _make_kernel(
             kl_const = jnp.sum(-0.5 * (1.0 + ep - jnp.exp(ep)) * lat_m)
             sum_mu2 = jnp.sum(mu * mu)
             sum_r2 = jnp.sum(r * r)
+            # dd_f · (0.5·(log2π+ε)) — bitwise-equal between solo (static
+            # dd) and grid (scalar-prefetched dd) paths
             loss = (kl_const + 0.5 * inv_b * sum_mu2
                     + 0.5 * inv_var * inv_b * sum_r2
-                    + 0.5 * data_dim * (LOG_2PI + eps))
+                    + dd_f * (0.5 * (LOG_2PI + eps)))
             loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
 
             # --- backward ---------------------------------------------------
@@ -276,7 +286,7 @@ def _make_kernel(
             g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
                     + 0.5 * (jnp.exp(ep) - 1.0) * lat_m)
             if tdv:
-                g_eps = (-0.5 * inv_var * inv_b * sum_r2 + 0.5 * data_dim
+                g_eps = (-0.5 * inv_var * inv_b * sum_r2 + 0.5 * dd_f
                          + jnp.sum(g_y * z2) * 0.5 * jnp.exp(eps * 0.5))
                 col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) == 0)
                 g_eps_row = jnp.where(col0, g_eps * eps_const, 0.0)

@@ -328,7 +328,7 @@ class GridTrainer:
     def _build_mlp_pallas_grid_chunk(self):
         """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs)."""
         from ..data.synthetic import SigmoidDataset, SphereDataset
-        from ..kernels.linear_vae import _pack_mat, chunk_seed_and_t0
+        from ..kernels.linear_vae import _pack_mat, grid_seed_rows
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -371,7 +371,8 @@ class GridTrainer:
         def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
             del dataset_grid
             grid_n = a_t_rows.shape[0]  # rows owned here (shard under --mesh)
-            seeds = jax.vmap(chunk_seed_and_t0)(state_grid)
+            seeds = grid_seed_rows(state_grid, data_dim, latent_dim,
+                                   intrinsic_dim)
             packed = jax.vmap(
                 lambda st: pack_mlp_state(st, enc_dims, dec_dims, tdv,
                                           dual=dual)

@@ -3,11 +3,14 @@
 ``sweep.py --grouped`` previously ran one grid launch per (data_dim,
 padding_dim, latent_dim) row because dimensions were compile-time constants
 baked into the fused kernel's masks — 7 launches for the linear sweep.
-Since the kernel now reads per-row dims from the scalar-prefetch buffer
+Since the kernels now read per-row dims from the scalar-prefetch buffer
 (kernels/linear_vae.py:grid_seed_rows), rows with DIFFERENT dimensions can
-share a launch: all 21 linear runs (3 seeds × 7 mixed-dim rows) — and all
-18 sigmoid runs — train in a single ``pallas_call``. This is BASELINE.json
-config 4 ("full linpadding sweep in one device launch") taken literally.
+share a launch: all 21 linear runs (3 seeds × 7 mixed-dim rows), all 18
+sigmoid runs, AND all 15 sphere-MLP runs train in a single ``pallas_call``
+each (the MLP family additionally requires uniform hidden widths so the
+padded buffer layout matches across rows — true for the 200³ sphere sweep).
+This is BASELINE.json config 4 ("full linpadding sweep in one device
+launch") taken literally, extended to every sweep family.
 
 Architecture: one :class:`~.grid.GridTrainer` per homogeneous row (it owns
 eval/plot/save for its seeds, where shapes must be uniform for ``vmap``);
@@ -29,25 +32,7 @@ from ..config import RunConfig
 from .grid import GridTrainer
 
 
-def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
-    """All groups must hit the linear/sigmoid fused kernel with identical
-    static hyperparameters (batch, lr, epsilon, tdv, decoder head, chunk
-    cadences) — only the DIMS may differ across rows."""
-    from ..data.synthetic import LinearGaussianDataset, SigmoidDataset
-    from ..kernels.linear_vae import pallas_supported
-
-    if not groups:
-        return False, "no rows"
-    for g in groups:
-        if not isinstance(g.datasets[0], (LinearGaussianDataset,
-                                          SigmoidDataset)):
-            return False, "mixed launch supports linear_gaussian and sigmoid"
-        ok, why = pallas_supported(g.model, g.datasets[0], g.cfg,
-                                   grid_over_mesh=True)
-        if not ok:
-            return False, why
-        if g.mesh is not None:
-            return False, "mixed launch is single-chip; use per-row --mesh"
+def _rows_uniform(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
     ref = groups[0]
     for g in groups[1:]:
         same = (
@@ -67,16 +52,68 @@ def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
     return True, "ok"
 
 
+def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
+    """All groups must hit the SAME fused kernel (the linear kernel for
+    pure-linear configs, the MLP kernel for hidden-layer configs with
+    uniform hidden widths) with identical static hyperparameters (batch,
+    lr, epsilon, tdv, decoder head, chunk cadences) — only the DIMS may
+    differ across rows. Returns (family, reason): family is 'linear',
+    'mlp', or '' when ineligible."""
+    from ..kernels.linear_vae import pallas_supported
+    from ..kernels.mlp_vae import _layer_dims, _padded_layer_shapes, \
+        mlp_pallas_supported
+
+    if not groups:
+        return "", "no rows"
+    for g in groups:
+        if g.mesh is not None:
+            return "", "mixed launch is single-chip; use per-row --mesh"
+    ok, why = _rows_uniform(groups)
+    if not ok:
+        return "", why
+
+    if all(pallas_supported(g.model, g.datasets[0], g.cfg,
+                            grid_over_mesh=True)[0] for g in groups):
+        return "linear", "ok"
+    why_mlp = None
+    for g in groups:
+        ok, why_mlp = mlp_pallas_supported(g.model, g.datasets[0], g.cfg,
+                                           grid_over_mesh=True)
+        if not ok:
+            return "", why_mlp
+    # MLP family: the padded buffer layout must be identical across rows
+    # (hidden widths uniform; every data/latent dim ≤ LANE pads to LANE)
+    ref = groups[0]
+
+    def shapes(g):
+        dual = g.model.dual_sigmoid_decoder
+        return _padded_layer_shapes(
+            _layer_dims(g.model.encoder_features, g.data_dim),
+            _layer_dims(g.model.decoder_features, g.latent_dim), dual)
+
+    ref_shapes = shapes(ref)
+    for g in groups[1:]:
+        if shapes(g) != ref_shapes or (
+            len(g.model.encoder_features) != len(ref.model.encoder_features)
+            or len(g.model.decoder_features) != len(ref.model.decoder_features)
+        ):
+            return "", "rows differ in padded MLP layer layout"
+    return "mlp", "ok"
+
+
 class MixedGridSweep:
     """Train many heterogeneous-dimension grid rows in one kernel launch."""
 
     def __init__(self, groups: List[GridTrainer]):
-        ok, why = mixed_launch_eligible(groups)
-        if not ok:
+        family, why = mixed_launch_eligible(groups)
+        if not family:
             raise ValueError(f"mixed one-launch sweep unavailable: {why}")
         self.groups = groups
         self.cfg: RunConfig = groups[0].cfg
-        self._build_chunk()
+        if family == "mlp":
+            self._build_chunk_mlp()
+        else:
+            self._build_chunk()
 
     def _build_chunk(self):
         from ..data.synthetic import SigmoidDataset
@@ -155,6 +192,103 @@ class MixedGridSweep:
                     lambda st, *bb, dd=dd, ldim=ldim: unpack_state(
                         st, bb, n_steps, dd, ldim, tdv, dual=dual)
                 )(sg, *bufs_g))
+                loss_rows.append(losses[off:off + n_g])
+                off += n_g
+            return tuple(new_grids), tuple(loss_rows)
+
+        self._train_chunk = train_chunk
+
+    def _build_chunk_mlp(self):
+        """Mixed-dims one-launch chunk on the MLP kernel (the sphere sweep's
+        5 rows × 3 seeds, or any uniform-hidden-width MLP row set)."""
+        from ..data.synthetic import SigmoidDataset, SphereDataset
+        from ..kernels.linear_vae import _pack_mat, grid_seed_rows
+        from ..kernels.mlp_vae import (
+            LANE,
+            _layer_dims,
+            pack_mlp_state,
+            run_mlp_fused_chunk,
+            unpack_mlp_state,
+        )
+
+        groups = self.groups
+        cfg = self.cfg
+        tdv = groups[0].model.tunable_decoder_var
+        dual = groups[0].model.dual_sigmoid_decoder
+        d0 = groups[0].datasets[0]
+        if isinstance(d0, SphereDataset):
+            dataset_kind, var_added = "sphere", 0.0
+        elif isinstance(d0, SigmoidDataset):
+            dataset_kind, var_added = "sigmoid", 0.0
+        else:
+            dataset_kind, var_added = "linear", d0.var_added
+
+        group_meta, a_t_rows, sizes = [], [], []
+        for g in groups:
+            enc_dims = _layer_dims(g.model.encoder_features, g.data_dim)
+            dec_dims = _layer_dims(g.model.decoder_features, g.latent_dim)
+            if dataset_kind == "sphere":
+                idim = g.datasets[0].dim
+                a_t_rows.extend(jnp.zeros((LANE, LANE), jnp.float32)
+                                for _ in g.datasets)
+            elif dataset_kind == "sigmoid":
+                idim = g.datasets[0].dim
+                a_t_rows.extend(
+                    jnp.zeros((LANE, LANE), jnp.float32)
+                    .at[: d.dim, d.dim].set(d.A[:, 0])
+                    for d in g.datasets
+                )
+            else:
+                idim = g.datasets[0].intrinsic_dim
+                a_t_rows.extend(_pack_mat((LANE, LANE), d.A.T)
+                                for d in g.datasets)
+            group_meta.append((g.data_dim, g.latent_dim, idim,
+                               enc_dims, dec_dims))
+            sizes.append(len(g.seeds))
+        a_t_all = jnp.stack(a_t_rows)
+        total_rows = sum(sizes)
+        self.n_rows = total_rows
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state_grids",))
+        def train_chunk(state_grids: Tuple, n_steps: int):
+            all_seeds, all_packed = [], []
+            for gi, sg in enumerate(state_grids):
+                dd, ldim, idim, enc_dims, dec_dims = group_meta[gi]
+                all_seeds.append(grid_seed_rows(sg, dd, ldim, idim))
+                all_packed.append(jax.vmap(
+                    lambda st, e=enc_dims, d=dec_dims: pack_mlp_state(
+                        st, e, d, tdv, dual=dual)
+                )(sg))
+            seeds = jnp.concatenate(all_seeds, axis=0)
+            # packed = (ws list, bs list, vec, mws, mbs, mvec, vws, vbs,
+            # vvec); concatenate each leaf across groups (padded shapes are
+            # identical by eligibility)
+            packed = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *all_packed)
+            dd0, ld0, id0, enc0, dec0 = group_meta[0]
+            new_packed, losses = run_mlp_fused_chunk(
+                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_all,
+                packed=packed, batch=cfg.batch_size,
+                data_dim=dd0, latent_dim=ld0,
+                enc_dims=enc0, dec_dims=dec0,  # layer COUNTS / pad layout
+                dataset_kind=dataset_kind, intrinsic_dim=id0,
+                var_added=float(var_added), eps_const=float(cfg.epsilon),
+                tdv=tdv, lr=float(cfg.learning_rate), grid_n=total_rows,
+                dual=dual,
+            )
+            new_grids, loss_rows, off = [], [], 0
+            for gi, sg in enumerate(state_grids):
+                n_g = sizes[gi]
+                dd, ldim, idim, enc_dims, dec_dims = group_meta[gi]
+                packed_g = jax.tree_util.tree_map(
+                    lambda x: x[off:off + n_g], new_packed)
+                new_grids.append(jax.vmap(
+                    lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec,
+                    e=enc_dims, d=dec_dims, l=ldim: unpack_mlp_state(
+                        st, (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec),
+                        n_steps, e, d, tdv, l, dual=dual)
+                )(sg, *packed_g))
                 loss_rows.append(losses[off:off + n_g])
                 off += n_g
             return tuple(new_grids), tuple(loss_rows)
