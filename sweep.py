@@ -157,10 +157,11 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
 
-    if not mesh and kernels in ("auto", "pallas"):
+    if kernels in ("auto", "pallas"):
         # Fastest shape: the WHOLE sweep (every mixed-dim row × every seed)
-        # as one kernel launch — per-row dims ride the scalar-prefetch
-        # buffer. Falls back to per-row launches outside the envelope.
+        # as one kernel launch per device — per-row dims ride the scalar-
+        # prefetch buffer; with --mesh the row axis is sharded over dp.
+        # Falls back to per-row launches outside the envelope.
         from vae_training_tpu.train.mixed_grid import run_mixed_sweep
 
         mixed_rows = []
@@ -170,10 +171,11 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
                 (cfgs[0], seeds, {s: c.name for s, c in zip(seeds, cfgs)}))
         try:
             t0 = time.perf_counter()
-            rc = run_mixed_sweep(mixed_rows)
+            rc = run_mixed_sweep(mixed_rows, mesh_spec=mesh)
             print(f"[sweep] ONE-LAUNCH {sweep}: {len(rows)} rows × "
-                  f"{len(seeds)} seeds in {time.perf_counter() - t0:.1f}s",
-                  flush=True)
+                  f"{len(seeds)} seeds"
+                  + (f" sharded over {mesh}" if mesh else "")
+                  + f" in {time.perf_counter() - t0:.1f}s", flush=True)
             return rc
         except ValueError as e:
             print(f"[sweep] one-launch unavailable ({e}); "

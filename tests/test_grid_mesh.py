@@ -110,6 +110,39 @@ def test_sharded_grid_end_to_end_artifacts(tmp_outdir):
         assert np.all(np.isfinite(z["VAE Loss"]))
 
 
+def test_mixed_shard_rows_pads_to_dp_multiple():
+    """MixedGridSweep._shard_rows: 21 rows over dp=8 → padded to 24, padded
+    outputs dropped, per-row results unchanged."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from vae_training_tpu.parallel.mesh import make_mesh
+    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+
+    holder = SimpleNamespace(mesh=make_mesh("dp=8"))
+
+    def run_rows(seeds, a_t, buffers):
+        scale = seeds[:, 0].astype(jnp.float32)[:, None, None]
+        new_buffers = jax.tree_util.tree_map(lambda b: b * scale, buffers)
+        losses = jnp.tile(seeds[:, :1].astype(jnp.float32), (1, 5))
+        return new_buffers, losses
+
+    n = 21
+    seeds = jnp.arange(n * 5, dtype=jnp.int32).reshape(n, 5)
+    a_t = jnp.ones((n, 4, 4))
+    buffers = (jnp.ones((n, 4, 4)), jnp.full((n, 2, 4), 2.0))
+    wrapped = MixedGridSweep._shard_rows(holder, run_rows)
+    new_buffers, losses = jax.jit(wrapped)(seeds, a_t, buffers)
+    assert losses.shape == (n, 5)
+    np.testing.assert_array_equal(
+        np.asarray(losses[:, 0]), np.asarray(seeds[:, 0], dtype=np.float32))
+    assert new_buffers[0].shape == (n, 4, 4)
+    np.testing.assert_array_equal(
+        np.asarray(new_buffers[1][:, 0, 0]),
+        2.0 * np.asarray(seeds[:, 0], dtype=np.float32))
+
+
 def test_mesh_grid_validation_errors(tmp_outdir):
     with pytest.raises(ValueError, match="divide evenly"):
         GridTrainer(make_cfg(tmp_outdir, mesh="dp=8"), SEEDS[:6])

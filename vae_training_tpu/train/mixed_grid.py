@@ -102,18 +102,67 @@ def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
 
 
 class MixedGridSweep:
-    """Train many heterogeneous-dimension grid rows in one kernel launch."""
+    """Train many heterogeneous-dimension grid rows in one kernel launch.
 
-    def __init__(self, groups: List[GridTrainer]):
+    ``mesh_spec`` (e.g. ``dp=4``) shards the concatenated ROW axis over the
+    device mesh with shard_map — one fused launch per device, zero
+    collectives; rows are padded to a multiple of dp with discarded
+    duplicates, so any device count works."""
+
+    def __init__(self, groups: List[GridTrainer], mesh_spec: str = ""):
         family, why = mixed_launch_eligible(groups)
         if not family:
             raise ValueError(f"mixed one-launch sweep unavailable: {why}")
         self.groups = groups
         self.cfg: RunConfig = groups[0].cfg
+        self.mesh = None
+        if mesh_spec:
+            from ..parallel.mesh import make_mesh, parse_mesh_spec
+
+            if parse_mesh_spec(mesh_spec).get("tp", 1) > 1:
+                raise ValueError("mixed sweep shards rows over dp; "
+                                 "use a pure dp spec")
+            self.mesh = make_mesh(mesh_spec)
         if family == "mlp":
             self._build_chunk_mlp()
         else:
             self._build_chunk()
+
+    def _shard_rows(self, run_rows):
+        """Wrap a (seeds, a_t, buffers) → (new_buffers, losses) row-kernel
+        in shard_map over dp (identity without a mesh). Rows are padded to
+        a multiple of dp by duplicating leading rows; padded outputs are
+        dropped (their training is discarded work, ≤ dp-1 rows)."""
+        if self.mesh is None:
+            return run_rows
+        mesh = self.mesh
+        dp = mesh.shape["dp"]
+        from jax.sharding import PartitionSpec as P
+
+        def wrapped(seeds, a_t, buffers):
+            n = seeds.shape[0]
+            pad = (-n) % dp
+
+            def pad_rows(x):
+                return jnp.concatenate([x, x[:pad]], axis=0) if pad else x
+
+            seeds = pad_rows(seeds)
+            a_t = pad_rows(a_t)
+            buffers = jax.tree_util.tree_map(pad_rows, buffers)
+            new_buffers, losses = jax.shard_map(
+                run_rows,
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp")),
+                check_vma=False,
+            )(seeds, a_t, buffers)
+            if pad:
+                new_buffers = jax.tree_util.tree_map(
+                    lambda x: x[:n], new_buffers)
+                losses = losses[:n]
+            return new_buffers, losses
+
+        return wrapped
 
     def _build_chunk(self):
         from ..data.synthetic import SigmoidDataset
@@ -172,17 +221,23 @@ class MixedGridSweep:
                 jnp.concatenate([bufs[j] for bufs in all_bufs], axis=0)
                 for j in range(len(all_bufs[0]))
             )
-            new_buffers, losses = run_fused_chunk(
-                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_all,
-                buffers=buffers, batch=cfg.batch_size,
-                # dims per row come from the scalar-prefetch rows; these
-                # describe only the (irrelevant) host-side layout defaults
-                data_dim=group_dims[0][0], latent_dim=group_dims[0][1],
-                intrinsic_dim=group_dims[0][2],
-                var_added=float(var_added), eps_const=float(cfg.epsilon),
-                tdv=tdv, lr=float(cfg.learning_rate),
-                dataset_kind=dataset_kind, dual=dual, grid_n=total_rows,
-            )
+
+            def run_rows(seeds_r, a_t_r, buffers_r):
+                return run_fused_chunk(
+                    n_steps=n_steps, seed_and_t0=seeds_r, a_t=a_t_r,
+                    buffers=buffers_r, batch=cfg.batch_size,
+                    # dims per row come from the scalar-prefetch rows; these
+                    # describe only the (irrelevant) host-side layout defaults
+                    data_dim=group_dims[0][0], latent_dim=group_dims[0][1],
+                    intrinsic_dim=group_dims[0][2],
+                    var_added=float(var_added), eps_const=float(cfg.epsilon),
+                    tdv=tdv, lr=float(cfg.learning_rate),
+                    dataset_kind=dataset_kind, dual=dual,
+                    grid_n=seeds_r.shape[0],
+                )
+
+            new_buffers, losses = self._shard_rows(run_rows)(
+                seeds, a_t_all, buffers)
             new_grids, loss_rows, off = [], [], 0
             for gi, sg in enumerate(state_grids):
                 n_g = sizes[gi]
@@ -267,16 +322,21 @@ class MixedGridSweep:
             packed = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *all_packed)
             dd0, ld0, id0, enc0, dec0 = group_meta[0]
-            new_packed, losses = run_mlp_fused_chunk(
-                n_steps=n_steps, seed_and_t0=seeds, a_t=a_t_all,
-                packed=packed, batch=cfg.batch_size,
-                data_dim=dd0, latent_dim=ld0,
-                enc_dims=enc0, dec_dims=dec0,  # layer COUNTS / pad layout
-                dataset_kind=dataset_kind, intrinsic_dim=id0,
-                var_added=float(var_added), eps_const=float(cfg.epsilon),
-                tdv=tdv, lr=float(cfg.learning_rate), grid_n=total_rows,
-                dual=dual,
-            )
+
+            def run_rows(seeds_r, a_t_r, packed_r):
+                return run_mlp_fused_chunk(
+                    n_steps=n_steps, seed_and_t0=seeds_r, a_t=a_t_r,
+                    packed=packed_r, batch=cfg.batch_size,
+                    data_dim=dd0, latent_dim=ld0,
+                    enc_dims=enc0, dec_dims=dec0,  # layer COUNTS / pad layout
+                    dataset_kind=dataset_kind, intrinsic_dim=id0,
+                    var_added=float(var_added), eps_const=float(cfg.epsilon),
+                    tdv=tdv, lr=float(cfg.learning_rate),
+                    grid_n=seeds_r.shape[0], dual=dual,
+                )
+
+            new_packed, losses = self._shard_rows(run_rows)(
+                seeds, a_t_all, packed)
             new_grids, loss_rows, off = [], [], 0
             for gi, sg in enumerate(state_grids):
                 n_g = sizes[gi]
@@ -324,16 +384,20 @@ class MixedGridSweep:
             g.batchnum = max(total - 1, 0)
 
 
-def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]]) -> int:
+def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
+                    mesh_spec: str = "") -> int:
     """One-launch CLI entry. ``rows`` = [(cfg, seeds, {seed: run_name})].
 
+    ``mesh_spec`` shards the launch's row axis over a dp mesh (the groups
+    themselves stay mesh-less — the mixed sweep owns the sharding).
     Returns 0 on success; raises ValueError when the row set is outside the
     fused kernel's envelope (callers fall back to per-row grid launches).
     """
     from ..runio.outdir import make_output_dir
 
     groups = [GridTrainer(cfg, seeds) for cfg, seeds, _ in rows]
-    sweep = MixedGridSweep(groups)  # raises if ineligible — before any IO
+    # raises if ineligible — before any IO
+    sweep = MixedGridSweep(groups, mesh_spec=mesh_spec)
     outdirs_per_group = []
     for cfg, seeds, names in rows:
         outs = []
