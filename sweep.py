@@ -142,7 +142,7 @@ SWEEP_SEEDS = {"linear": [2, 3, 4], "sigmoid": [69, 24, 48],
 
 
 def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
-                mesh: str = "") -> int:
+                mesh: str = "", resume: bool = False) -> int:
     """Max-speed sweep: each row's seeds train as ONE grid launch (the
     fused pallas grid kernel where eligible), reusing the reference run
     names. The linear sweep's 21 runs collapse to 7 launches. With
@@ -171,7 +171,7 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
                 (cfgs[0], seeds, {s: c.name for s, c in zip(seeds, cfgs)}))
         try:
             t0 = time.perf_counter()
-            rc = run_mixed_sweep(mixed_rows, mesh_spec=mesh)
+            rc = run_mixed_sweep(mixed_rows, mesh_spec=mesh, resume=resume)
             print(f"[sweep] ONE-LAUNCH {sweep}: {len(rows)} rows × "
                   f"{len(seeds)} seeds"
                   + (f" sharded over {mesh}" if mesh else "")
@@ -185,6 +185,8 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
         cfgs = [by_seed[s] for s in seeds]
         names = {s: c.name for s, c in zip(seeds, cfgs)}
         cfgs[0].mesh = mesh
+        if resume:
+            cfgs[0].resume = "rows"  # grid semantics: each row's own outdir
         t0 = time.perf_counter()
         run_seed_grid(cfgs[0], seeds, name_fn=lambda s: names[s])
         print(f"[sweep] row dd={key[0]} pd={key[1]} ld={key[2]} "
@@ -208,6 +210,10 @@ def main(argv=None) -> int:
                    help="With --grouped: shard each launch's seed axis over "
                         "a device mesh, e.g. 'dp=3' (seed count must divide "
                         "evenly).")
+    p.add_argument("--resume", action="store_true",
+                   help="With --grouped: continue a preempted sweep from "
+                        "every row's own checkpoint (artifacts come out "
+                        "identical to an uninterrupted sweep).")
     p.add_argument("--isolate", action="store_true",
                    help="Run each row as a supervised subprocess with "
                         "timeout + retry + resume-from-checkpoint (turns "
@@ -228,7 +234,7 @@ def main(argv=None) -> int:
         enable_compile_cache()
         t0 = time.perf_counter()
         rc = run_grouped(args.sweep, args.data_dir, args.num_batches,
-                         args.kernels, mesh=args.mesh)
+                         args.kernels, mesh=args.mesh, resume=args.resume)
         print(f"[sweep] grouped {args.sweep} in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
         return rc

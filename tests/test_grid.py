@@ -106,3 +106,60 @@ def test_grid_seed_matches_solo_run(tmp_outdir):
     np.testing.assert_allclose(
         np.asarray(glosses[0]), np.asarray(slosses), rtol=1e-5, atol=1e-5
     )
+
+
+def test_grid_resume_artifacts_equal_uninterrupted(tmp_outdir):
+    """A preempted + resumed grid sweep emits per-seed losses.npz files
+    IDENTICAL to an uninterrupted sweep's (per-row checkpoints carry the
+    recorder history + shared host key chain)."""
+    seeds = [2, 3]
+
+    def drive(data_dir, die_at=None):
+        cfg = make_cfg(data_dir, num_batches=400, n_print=100, n_plot=200)
+        trainer = GridTrainer(cfg, seeds)
+        outdirs = []
+        for s in seeds:
+            sub = cfg.__class__(**{**cfg.to_json_dict()})
+            sub.dataset_seed = s
+            outdirs.append(make_output_dir(f"grid_seed{s}", True, sub,
+                                           data_dir=data_dir))
+        if die_at is not None:
+            orig = trainer.compute_and_write_stats
+
+            def dying_stats():
+                if trainer.batchnum == die_at:
+                    raise KeyboardInterrupt
+                orig()
+
+            trainer.compute_and_write_stats = dying_stats
+            with pytest.raises(KeyboardInterrupt):
+                trainer.train(outdirs)
+            return cfg, outdirs
+        trainer.train(outdirs)
+        trainer.save_all(outdirs, final=True)
+        return cfg, outdirs
+
+    dir_a = os.path.join(tmp_outdir, "straight")
+    dir_b = os.path.join(tmp_outdir, "preempted")
+    _, outs_a = drive(dir_a)
+    # Killed at the b=300 eval: the last checkpoint is the sync save at 200
+    # (events at 200 already fired).
+    cfg_b, outs_b = drive(dir_b, die_at=300)
+
+    # Resume the whole grid in place and finish.
+    cfg_b.resume = "rows"
+    resumed = GridTrainer(cfg_b, seeds)
+    resumed.restore(outs_b)
+    assert resumed.batchnum == 200
+    assert resumed._skip_events_at == 200
+    resumed.train(outs_b)
+    resumed.save_all(outs_b, final=True)
+
+    for oa, ob in zip(outs_a, outs_b):
+        za = np.load(os.path.join(oa, "losses.npz"), allow_pickle=True)
+        zb = np.load(os.path.join(ob, "losses.npz"), allow_pickle=True)
+        assert set(za.files) == set(zb.files)
+        for k in za.files:
+            np.testing.assert_array_equal(
+                np.asarray(za[k], dtype=np.float64),
+                np.asarray(zb[k], dtype=np.float64), err_msg=k)

@@ -159,7 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Compute backend for the fused train step.")
     p.add_argument("--model_seed", dest="model_seed", type=int, default=0)
     p.add_argument("--resume", dest="resume", default=None,
-                   help="Checkpoint directory to resume training from.")
+                   help="Checkpoint directory to resume training from. With "
+                        "--seed_grid, any non-empty value resumes every row "
+                        "from its own <name>_seed<N>/ checkpoint.")
     p.add_argument("--profile", dest="profile", action="store_true",
                    help="Capture a jax.profiler trace of one training chunk.")
     p.add_argument("--debug_nans", dest="debug_nans", action="store_true")

@@ -74,11 +74,14 @@ class GridTrainer:
                 "--seed_grid supports distribution datasets; epoch-mode "
                 "image corpora train one run at a time"
             )
-        if cfg.resume or cfg.state_dict:
+        if cfg.state_dict:
             raise NotImplementedError(
-                "--seed_grid starts fresh; resume individual rows solo with "
-                "--resume <name>_seed<N>"
+                "--seed_grid starts fresh or resumes from its own row "
+                "checkpoints (--resume); --state_dict applies to solo runs"
             )
+        # cfg.resume for grid runs means "resume every row from its own
+        # output dir" — run_seed_grid calls restore(outdirs) after building
+        # the per-seed directories.
         self.mesh = None
         if cfg.mesh:
             from ..parallel.mesh import make_mesh, parse_mesh_spec
@@ -151,6 +154,7 @@ class GridTrainer:
         self.recorders = [StatsRecorder() for _ in seeds]
         self.current_epsilon = [cfg.epsilon] * len(seeds)
         self.batchnum = 0
+        self._skip_events_at = -1  # set by restore() when events already ran
         self._build_fns()
 
     # ------------------------------------------------------------------
@@ -459,18 +463,76 @@ class GridTrainer:
     def save_all(self, outdirs, final=False):
         # unstack the grid state once on host
         states = jax.device_get(self.state_grid)
+        # In-loop saves run inside the event block AFTER this step's events
+        # (batchnum == step); the end-of-run save happens after the loop
+        # (batchnum == total-1, step == total).
+        events_fired = self.batchnum == int(np.asarray(states.step).reshape(-1)[0])
         for i, out in enumerate(outdirs):
             take = lambda x: x[i]
             state_i = jax.tree_util.tree_map(take, states)
             self.recorders[i].save_npz(out, final=final)
             save_model_pkl(os.path.join(out, "model.pkl"), state_i.params,
                            state_i.opt_state)
-            # per-seed full checkpoint: any grid row can be resumed solo
-            # with --resume <name>_seed<N>
+            # per-seed full checkpoint + host-side run state: the whole grid
+            # resumes with --resume (artifacts identical to an uninterrupted
+            # sweep), and any row can still be resumed solo with
+            # --resume <name>_seed<N>
             save_checkpoint(out, state_i, extra_meta={
                 "current_epsilon": float(
                     np.asarray(self.current_epsilon[i]).reshape(-1)[0])
+            }, aux={
+                "recorder": self.recorders[i].to_state(),
+                "host_key": np.asarray(self._host_key),
+                "events_fired_at_step": events_fired,
             })
+
+    def restore(self, outdirs) -> None:
+        """Resume the whole grid from each row's own checkpoint (written by
+        a previous save_all). All rows checkpoint at the same events, so
+        their steps agree; the shared host key chain is restored from row 0.
+
+        Artifact equality with an uninterrupted run holds when the resumed
+        run targets the SAME ``num_batches`` (the normal preemption case:
+        chunk boundaries then coincide, and the fused kernels derive their
+        PRNG stream per chunk). Resuming a COMPLETED run to a longer target
+        stays valid but diverges from a longer straight run after the
+        original end on the pallas path (the finished run had an event
+        boundary at its last step); the XLA path is per-step fold_in and
+        bit-exact under any chunking."""
+        import json
+
+        from ..runio.checkpoint import restore_checkpoint, restore_checkpoint_aux
+
+        host_states = jax.device_get(self.state_grid)
+        restored, steps = [], []
+        for i, out in enumerate(outdirs):
+            template = jax.tree_util.tree_map(lambda x: x[i], host_states)
+            state_i = restore_checkpoint(out, template)
+            steps.append(int(state_i.step))
+            restored.append(state_i)
+            meta_path = os.path.join(out, "ckpt_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if "current_epsilon" in meta:
+                    self.current_epsilon[i] = meta["current_epsilon"]
+            aux = restore_checkpoint_aux(out)
+            if aux is not None:
+                self.recorders[i] = StatsRecorder.from_state(aux["recorder"])
+                if i == 0:
+                    self._host_key = jnp.asarray(aux["host_key"])
+                    if aux.get("events_fired_at_step", False):
+                        self._skip_events_at = steps[0]
+        if len(set(steps)) != 1:
+            raise ValueError(
+                f"grid rows checkpointed at different steps {sorted(set(steps))}; "
+                "resume rows solo with --resume <name>_seed<N>"
+            )
+        self.batchnum = steps[0]
+        self.state_grid = stack_pytrees(restored)
+        if self.mesh is not None:
+            self.state_grid = jax.device_put(
+                self.state_grid, NamedSharding(self.mesh, P("dp")))
 
     def plot_all(self, outdirs):
         """Per-seed diagnostic plots from vmapped ancestral sampling."""
@@ -495,12 +557,13 @@ class GridTrainer:
 
     def train(self, outdirs):
         total = self.cfg.num_batches
-        b = 0
+        b = self.batchnum  # 0 fresh; the checkpoint step after restore()
         while b < total:
             self.batchnum = b
-            if b % self.n_print == 0:
+            if b % self.n_print == 0 and b != self._skip_events_at:
                 self.compute_and_write_stats()
-            if b % self.n_plot == 0 or b == total - 1:
+            if (b % self.n_plot == 0 or b == total - 1) \
+                    and b != self._skip_events_at:
                 self.plot_all(outdirs)
                 self.save_all(outdirs)
             n = self._next_event(b) - b
@@ -529,8 +592,11 @@ def run_seed_grid(cfg: RunConfig, seeds: Sequence[int], name_fn=None) -> int:
         sub.dataset_seed = seed
         outdirs.append(
             make_output_dir(name_fn(seed), cfg.overwrite, sub,
-                            data_dir=cfg.data_dir)
+                            data_dir=cfg.data_dir,
+                            reuse_existing=bool(cfg.resume))
         )
+    if cfg.resume:
+        trainer.restore(outdirs)
     trainer.train(outdirs)
     trainer.save_all(outdirs, final=True)
     return 0

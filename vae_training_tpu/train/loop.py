@@ -185,7 +185,8 @@ class Trainer:
                 self.state = self.fns.place_state(self.state)
             self.batchnum = int(self.state.step)
             aux = restore_checkpoint_aux(cfg.resume)
-            if aux is not None:
+            if aux is not None and "eval_counter" in aux:
+                # full solo aux: exact continuation of the host-side streams
                 self.recorder = StatsRecorder.from_state(aux["recorder"])
                 self._eval_counter = int(aux["eval_counter"])
                 self.key = jnp.asarray(aux["host_key"])
@@ -193,6 +194,13 @@ class Trainer:
                 self.params_and_gradients = list(
                     aux.get("params_and_gradients", []))
                 self._resumed_with_aux = True
+                if aux.get("events_fired_at_step", False):
+                    self._skip_events_at = self.batchnum
+            elif aux is not None and "recorder" in aux:
+                # a GRID row's aux (written by GridTrainer.save_all): carry
+                # the stat history over, but keep fresh solo eval streams —
+                # the grid's eval keys derive from its own shared chain
+                self.recorder = StatsRecorder.from_state(aux["recorder"])
                 if aux.get("events_fired_at_step", False):
                     self._skip_events_at = self.batchnum
             # restore the learned decoder log-variance used for generation

@@ -356,17 +356,28 @@ class MixedGridSweep:
         self._train_chunk = train_chunk
 
     # ------------------------------------------------------------------
+    def restore(self, outdirs_per_group: List[List[str]]) -> None:
+        """Resume the whole sweep from every row's own checkpoint."""
+        for g, outs in zip(self.groups, outdirs_per_group):
+            g.restore(outs)
+        steps = {g.batchnum for g in self.groups}
+        if len(steps) != 1:
+            raise ValueError(
+                f"sweep groups checkpointed at different steps {sorted(steps)}"
+            )
+
     def train(self, outdirs_per_group: List[List[str]]) -> None:
         groups = self.groups
         total = self.cfg.num_batches
-        b = 0
+        b = groups[0].batchnum  # 0 fresh; the checkpoint step after restore
+        skip_at = groups[0]._skip_events_at
         while b < total:
             for g in groups:
                 g.batchnum = b
-            if b % groups[0].n_print == 0:
+            if b % groups[0].n_print == 0 and b != skip_at:
                 for g in groups:
                     g.compute_and_write_stats()
-            if b % groups[0].n_plot == 0 or b == total - 1:
+            if (b % groups[0].n_plot == 0 or b == total - 1) and b != skip_at:
                 for g, outs in zip(groups, outdirs_per_group):
                     g.plot_all(outs)
                     g.save_all(outs)
@@ -385,13 +396,16 @@ class MixedGridSweep:
 
 
 def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
-                    mesh_spec: str = "") -> int:
+                    mesh_spec: str = "", resume: bool = False) -> int:
     """One-launch CLI entry. ``rows`` = [(cfg, seeds, {seed: run_name})].
 
     ``mesh_spec`` shards the launch's row axis over a dp mesh (the groups
     themselves stay mesh-less — the mixed sweep owns the sharding).
-    Returns 0 on success; raises ValueError when the row set is outside the
-    fused kernel's envelope (callers fall back to per-row grid launches).
+    ``resume`` continues every row from its own checkpoint (a preempted
+    sweep restarts where it stopped, artifacts identical to an
+    uninterrupted one). Returns 0 on success; raises ValueError when the
+    row set is outside the fused kernel's envelope (callers fall back to
+    per-row grid launches).
     """
     from ..runio.outdir import make_output_dir
 
@@ -405,8 +419,11 @@ def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
             sub = cfg.__class__(**{**cfg.to_json_dict()})
             sub.dataset_seed = seed
             outs.append(make_output_dir(
-                names[seed], cfg.overwrite, sub, data_dir=cfg.data_dir))
+                names[seed], cfg.overwrite, sub, data_dir=cfg.data_dir,
+                reuse_existing=resume))
         outdirs_per_group.append(outs)
+    if resume:
+        sweep.restore(outdirs_per_group)
     sweep.train(outdirs_per_group)
     for g, outs in zip(groups, outdirs_per_group):
         g.save_all(outs, final=True)
