@@ -59,6 +59,32 @@ def chunk_seed_and_t0(state: "TrainState") -> jax.Array:
     return jnp.stack([seed, t0])
 
 
+def manifold_rows(datasets, size: int = N):
+    """Stacked per-row manifold matrices + kernel dataset metadata for a
+    grid launch: ``(dataset_kind, var_added, intrinsic_dim, a_t)``.
+
+    The SINGLE definition of the kernels' a_t packing contract (linear →
+    A.T rows; sigmoid → A's column at [:, dim] so the matmul lands the
+    σ-logit in the σ-coordinate column; sphere → unused zeros), shared by
+    every grid/mixed launch path. Callers gate kernel eligibility via
+    pallas_supported/mlp_pallas_supported first."""
+    from ..data.synthetic import SigmoidDataset, SphereDataset
+
+    d0 = datasets[0]
+    if isinstance(d0, SphereDataset):
+        a_t = jnp.zeros((len(datasets), size, size), jnp.float32)
+        return "sphere", 0.0, d0.dim, a_t
+    if isinstance(d0, SigmoidDataset):
+        a_t = jnp.stack([
+            jnp.zeros((size, size), jnp.float32)
+            .at[: d.dim, d.dim].set(d.A[:, 0])
+            for d in datasets
+        ])
+        return "sigmoid", 0.0, d0.dim, a_t
+    a_t = jnp.stack([_pack_mat((size, size), d.A.T) for d in datasets])
+    return "linear", d0.var_added, d0.intrinsic_dim, a_t
+
+
 def grid_seed_rows(state_grid, data_dims, latent_dims, intrinsic_dims):
     """(grid_n, 5) int32 scalar-prefetch rows for the GRID kernel:
     [seed, t0, data_dim, latent_dim, intrinsic_dim] per row. Dims ride the
@@ -681,25 +707,12 @@ def _shared_chunk_fn(batch, data_dim, latent_dim, intrinsic_dim, var_added,
 
 
 def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
-    from ..data.synthetic import SigmoidDataset
-
     data_dim = dataset.dimension
     latent_dim = model.latent_dim
     tdv = model.tunable_decoder_var
     dual = model.dual_sigmoid_decoder
-    if isinstance(dataset, SigmoidDataset):
-        dataset_kind = "sigmoid"
-        intrinsic_dim = dataset.dim
-        var_added = 0.0
-        # A's column lands the σ-logit in the σ-coordinate column (= dim).
-        a_t = jnp.zeros((N, N), jnp.float32).at[: dataset.dim, dataset.dim].set(
-            dataset.A[:, 0]
-        )
-    else:
-        dataset_kind = "linear"
-        intrinsic_dim = dataset.intrinsic_dim
-        var_added = dataset.var_added
-        a_t = _pack_mat((N, N), dataset.A.T)
+    dataset_kind, var_added, intrinsic_dim, a_t_rows = manifold_rows([dataset])
+    a_t = a_t_rows[0]
 
     base = make_step_fns(model, dataset, tx, cfg.batch_size)
     shared = _shared_chunk_fn(

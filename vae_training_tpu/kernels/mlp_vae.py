@@ -640,7 +640,7 @@ def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
 
 
 def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
-    from ..data.synthetic import SigmoidDataset, SphereDataset
+    from .linear_vae import manifold_rows
 
     data_dim = dataset.dimension
     latent_dim = model.latent_dim
@@ -648,23 +648,9 @@ def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
     dual = model.dual_sigmoid_decoder
     enc_dims = _layer_dims(model.encoder_features, data_dim)
     dec_dims = _layer_dims(model.decoder_features, latent_dim)
-    if isinstance(dataset, SphereDataset):
-        dataset_kind = "sphere"
-        intrinsic_dim = dataset.dim
-        var_added = 0.0
-        a_t = jnp.zeros((LANE, LANE), jnp.float32)
-    elif isinstance(dataset, SigmoidDataset):
-        dataset_kind = "sigmoid"
-        intrinsic_dim = dataset.dim
-        var_added = 0.0
-        # A's column lands the σ-logit in the σ-coordinate column (= dim).
-        a_t = jnp.zeros((LANE, LANE), jnp.float32).at[
-            : dataset.dim, dataset.dim].set(dataset.A[:, 0])
-    else:
-        dataset_kind = "linear"
-        intrinsic_dim = dataset.intrinsic_dim
-        var_added = dataset.var_added
-        a_t = _pack_mat((LANE, LANE), dataset.A.T)
+    dataset_kind, var_added, intrinsic_dim, a_t_rows = manifold_rows(
+        [dataset], size=LANE)
+    a_t = a_t_rows[0]
 
     base = make_step_fns(model, dataset, tx, cfg.batch_size)
     shared = _shared_mlp_chunk_fn(

@@ -99,7 +99,11 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None,
             f.write(payload)
         os.replace(tmp, path)
         if aux is not None:
-            _write_aux(dirname, aux, suffix)
+            # stamp the step: the three files are individually atomic but
+            # not jointly — a kill between replaces pairs a newer state
+            # with stale aux; consumers compare aux["step"] to the restored
+            # state's step and fall back to a state-only resume on mismatch
+            _write_aux(dirname, {**aux, "step": meta["step"]}, suffix)
         mtmp = meta_path + suffix
         with open(mtmp, "w") as f:
             json.dump(meta, f)
@@ -187,7 +191,9 @@ def save_checkpoint_orbax(dirname: str, state,
             shutil.rmtree(path)
         os.replace(tmp_path, path)
         if aux is not None:
-            _write_aux(dirname, aux, ".tmp")
+            suffix = (f".tmp.{os.getpid()}."
+                      f"{__import__('threading').get_ident()}")
+            _write_aux(dirname, {**aux, "step": int(state.step)}, suffix)
         meta = {"step": int(state.step), "backend": "orbax"}
         if extra_meta:
             meta.update(extra_meta)

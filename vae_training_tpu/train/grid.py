@@ -148,7 +148,8 @@ class GridTrainer:
             row_sharded = NamedSharding(self.mesh, P("dp"))
             self.state_grid = jax.device_put(self.state_grid, row_sharded)
             self.dataset_grid = jax.device_put(self.dataset_grid, row_sharded)
-        self._eval_counter = 0
+        # one shared host key chain drives grid evals/plots (split per
+        # event; per-seed keys derive via fold_in(key, row index))
         self._host_key = jax.random.PRNGKey(cfg.model_seed + 1)
 
         self.recorders = [StatsRecorder() for _ in seeds]
@@ -273,15 +274,13 @@ class GridTrainer:
         grid step per seed, per-seed state streamed HBM→VMEM). Returns None
         when the config isn't in the fused kernel's envelope."""
         from ..kernels.linear_vae import (
-            N,
-            _pack_mat,
             grid_seed_rows,
+            manifold_rows,
             pack_state,
             pallas_supported,
             run_fused_chunk,
             unpack_state,
         )
-        from ..data.synthetic import SigmoidDataset
 
         ok, _why = pallas_supported(self.model, self.datasets[0], self.cfg,
                                     grid_over_mesh=True)
@@ -290,18 +289,8 @@ class GridTrainer:
         model, cfg = self.model, self.cfg
         data_dim, latent_dim = self.data_dim, self.latent_dim
         tdv, dual = model.tunable_decoder_var, model.dual_sigmoid_decoder
-        if isinstance(self.datasets[0], SigmoidDataset):
-            dataset_kind, var_added = "sigmoid", 0.0
-            intrinsic_dim = self.datasets[0].dim
-            a_t = jnp.stack([
-                jnp.zeros((N, N), jnp.float32).at[: d.dim, d.dim].set(d.A[:, 0])
-                for d in self.datasets
-            ])
-        else:
-            dataset_kind = "linear"
-            var_added = self.datasets[0].var_added
-            intrinsic_dim = self.datasets[0].intrinsic_dim
-            a_t = jnp.stack([_pack_mat((N, N), d.A.T) for d in self.datasets])
+        dataset_kind, var_added, intrinsic_dim, a_t = manifold_rows(
+            self.datasets)
 
         def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
             del dataset_grid  # manifolds baked into the stacked a_t
@@ -331,8 +320,7 @@ class GridTrainer:
 
     def _build_mlp_pallas_grid_chunk(self):
         """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs)."""
-        from ..data.synthetic import SigmoidDataset, SphereDataset
-        from ..kernels.linear_vae import _pack_mat, grid_seed_rows
+        from ..kernels.linear_vae import grid_seed_rows, manifold_rows
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -350,27 +338,10 @@ class GridTrainer:
         data_dim, latent_dim = self.data_dim, self.latent_dim
         tdv = model.tunable_decoder_var
         dual = model.dual_sigmoid_decoder
-        n_seeds = len(self.seeds)
         enc_dims = _layer_dims(model.encoder_features, data_dim)
         dec_dims = _layer_dims(model.decoder_features, latent_dim)
-        if isinstance(self.datasets[0], SphereDataset):
-            dataset_kind, var_added = "sphere", 0.0
-            intrinsic_dim = self.datasets[0].dim
-            a_t = jnp.zeros((n_seeds, LANE, LANE), jnp.float32)
-        elif isinstance(self.datasets[0], SigmoidDataset):
-            dataset_kind, var_added = "sigmoid", 0.0
-            intrinsic_dim = self.datasets[0].dim
-            a_t = jnp.stack([
-                jnp.zeros((LANE, LANE), jnp.float32)
-                .at[: d.dim, d.dim].set(d.A[:, 0])
-                for d in self.datasets
-            ])
-        else:
-            dataset_kind = "linear"
-            var_added = self.datasets[0].var_added
-            intrinsic_dim = self.datasets[0].intrinsic_dim
-            a_t = jnp.stack([_pack_mat((LANE, LANE), d.A.T)
-                             for d in self.datasets])
+        dataset_kind, var_added, intrinsic_dim, a_t = manifold_rows(
+            self.datasets, size=LANE)
 
         def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
             del dataset_grid
@@ -517,6 +488,11 @@ class GridTrainer:
                 if "current_epsilon" in meta:
                     self.current_epsilon[i] = meta["current_epsilon"]
             aux = restore_checkpoint_aux(out)
+            if aux is not None and aux.get("step", steps[i]) != steps[i]:
+                print(f"[resume] {out}: aux is from step {aux['step']}, "
+                      f"state is at {steps[i]}; resuming this row without "
+                      f"host-side history", flush=True)
+                aux = None
             if aux is not None:
                 self.recorders[i] = StatsRecorder.from_state(aux["recorder"])
                 if i == 0:

@@ -149,14 +149,10 @@ class Trainer:
 
             mesh = None
             if cfg.mesh:
-                from ..parallel.mesh import make_mesh, parse_mesh_spec
+                # dp-only already validated in _build_step_fns (which runs
+                # first and rejects tp for epoch datasets)
+                from ..parallel.mesh import make_mesh
 
-                axes = parse_mesh_spec(cfg.mesh)
-                if axes.get("tp", 1) > 1:
-                    raise ValueError(
-                        "epoch-mode (image) training shards the batch over "
-                        "dp; use a pure dp spec (e.g. --mesh dp=8)"
-                    )
                 mesh = make_mesh(cfg.mesh)
             self.epoch_chunk = make_epoch_chunk(
                 self.model, dataset, self.tx, cfg.batch_size, mesh=mesh
@@ -185,6 +181,15 @@ class Trainer:
                 self.state = self.fns.place_state(self.state)
             self.batchnum = int(self.state.step)
             aux = restore_checkpoint_aux(cfg.resume)
+            if aux is not None and aux.get("step", self.batchnum) != self.batchnum:
+                # a kill between the ckpt and aux replaces left stale host
+                # state next to a newer TrainState: degrade to a state-only
+                # resume (training stream stays bit-exact; stat history and
+                # eval streams restart) rather than silently mixing epochs
+                print(f"[resume] checkpoint aux is from step "
+                      f"{aux['step']}, state is at {self.batchnum}; "
+                      f"resuming without host-side history", flush=True)
+                aux = None
             if aux is not None and "eval_counter" in aux:
                 # full solo aux: exact continuation of the host-side streams
                 self.recorder = StatsRecorder.from_state(aux["recorder"])
@@ -553,6 +558,11 @@ class Trainer:
             "eval_counter": self._eval_counter,
             "host_key": np.asarray(self.key),
             "epoch_num": self.epoch_num if hasattr(self, "epoch_num") else 0,
+            # only populated under --track_correlation: a (params, grads)
+            # tree per eval. Each save re-pickles the whole history —
+            # O(evals × model size) per write — accepted so a resumed
+            # diagnostic run's final correlation ratios match an
+            # uninterrupted run's; the default path carries an empty list.
             "params_and_gradients": list(self.params_and_gradients),
             "events_fired_at_step": events_fired_at_step,
         }

@@ -101,6 +101,14 @@ def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
     return "mlp", "ok"
 
 
+def per_group_chunk(groups, state_grids, n_steps):
+    """Drive each group's own (fallback-capable) grid chunk — the mixed
+    launch's insurance path, and bench.py's per-row fallback."""
+    outs = [g._train_chunk(g.dataset_grid, sg, n_steps)
+            for g, sg in zip(groups, state_grids)]
+    return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
+
+
 class MixedGridSweep:
     """Train many heterogeneous-dimension grid rows in one kernel launch.
 
@@ -127,6 +135,35 @@ class MixedGridSweep:
             self._build_chunk_mlp()
         else:
             self._build_chunk()
+        # Runtime insurance: a row set can exceed the kernel's VMEM
+        # envelope only at compile time — the first chunk call keeps a host
+        # backup and falls back to the per-group chunks (which carry their
+        # own pallas→XLA fallback) instead of killing the sweep with
+        # donated buffers.
+        self._train_chunk = self._with_fallback(self._train_chunk)
+
+    def _with_fallback(self, mixed_chunk):
+        groups = self.groups
+        tried = {"ok": None}
+
+        def chunk(state_grids, n_steps: int):
+            if tried["ok"] is False:
+                return per_group_chunk(groups, state_grids, n_steps)
+            backup = jax.device_get(state_grids) if tried["ok"] is None else None
+            try:
+                out = mixed_chunk(state_grids, n_steps)
+                tried["ok"] = True
+                return out
+            except Exception as e:
+                if tried["ok"]:
+                    raise
+                print(f"[mixed] one-launch kernel unavailable "
+                      f"({type(e).__name__}); per-row launches", flush=True)
+                tried["ok"] = False
+                state_grids = jax.device_put(backup)
+                return per_group_chunk(groups, state_grids, n_steps)
+
+        return chunk
 
     def _shard_rows(self, run_rows):
         """Wrap a (seeds, a_t, buffers) → (new_buffers, losses) row-kernel
@@ -142,9 +179,12 @@ class MixedGridSweep:
         def wrapped(seeds, a_t, buffers):
             n = seeds.shape[0]
             pad = (-n) % dp
+            # gather-based pad: valid even when pad > n (e.g. 3 rows on
+            # dp=8, or 21 rows on dp=64 — a slice x[:pad] would under-pad)
+            idx = jnp.arange(n + pad) % n
 
             def pad_rows(x):
-                return jnp.concatenate([x, x[:pad]], axis=0) if pad else x
+                return jnp.take(x, idx, axis=0) if pad else x
 
             seeds = pad_rows(seeds)
             a_t = pad_rows(a_t)
@@ -165,11 +205,9 @@ class MixedGridSweep:
         return wrapped
 
     def _build_chunk(self):
-        from ..data.synthetic import SigmoidDataset
         from ..kernels.linear_vae import (
-            N,
-            _pack_mat,
             grid_seed_rows,
+            manifold_rows,
             pack_state,
             run_fused_chunk,
             unpack_state,
@@ -179,29 +217,15 @@ class MixedGridSweep:
         cfg = self.cfg
         tdv = groups[0].model.tunable_decoder_var
         dual = groups[0].model.dual_sigmoid_decoder
-        if isinstance(groups[0].datasets[0], SigmoidDataset):
-            dataset_kind, var_added = "sigmoid", 0.0
-        else:
-            dataset_kind = "linear"
-            var_added = groups[0].datasets[0].var_added
+        dataset_kind, var_added, _, _ = manifold_rows(groups[0].datasets)
 
-        group_dims, a_t_rows, sizes = [], [], []
+        group_dims, a_t_groups, sizes = [], [], []
         for g in groups:
-            if dataset_kind == "sigmoid":
-                idim = g.datasets[0].dim
-                a_t_rows.extend(
-                    jnp.zeros((N, N), jnp.float32)
-                    .at[: d.dim, d.dim].set(d.A[:, 0])
-                    for d in g.datasets
-                )
-            else:
-                idim = g.datasets[0].intrinsic_dim
-                a_t_rows.extend(
-                    _pack_mat((N, N), d.A.T) for d in g.datasets
-                )
+            _, _, idim, a_t_g = manifold_rows(g.datasets)
+            a_t_groups.append(a_t_g)
             group_dims.append((g.data_dim, g.latent_dim, idim))
             sizes.append(len(g.seeds))
-        a_t_all = jnp.stack(a_t_rows)
+        a_t_all = jnp.concatenate(a_t_groups, axis=0)
         total_rows = sum(sizes)
         self.n_rows = total_rows
 
@@ -256,8 +280,7 @@ class MixedGridSweep:
     def _build_chunk_mlp(self):
         """Mixed-dims one-launch chunk on the MLP kernel (the sphere sweep's
         5 rows × 3 seeds, or any uniform-hidden-width MLP row set)."""
-        from ..data.synthetic import SigmoidDataset, SphereDataset
-        from ..kernels.linear_vae import _pack_mat, grid_seed_rows
+        from ..kernels.linear_vae import grid_seed_rows, manifold_rows
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -270,37 +293,19 @@ class MixedGridSweep:
         cfg = self.cfg
         tdv = groups[0].model.tunable_decoder_var
         dual = groups[0].model.dual_sigmoid_decoder
-        d0 = groups[0].datasets[0]
-        if isinstance(d0, SphereDataset):
-            dataset_kind, var_added = "sphere", 0.0
-        elif isinstance(d0, SigmoidDataset):
-            dataset_kind, var_added = "sigmoid", 0.0
-        else:
-            dataset_kind, var_added = "linear", d0.var_added
+        dataset_kind, var_added, _, _ = manifold_rows(groups[0].datasets,
+                                                      size=LANE)
 
-        group_meta, a_t_rows, sizes = [], [], []
+        group_meta, a_t_groups, sizes = [], [], []
         for g in groups:
             enc_dims = _layer_dims(g.model.encoder_features, g.data_dim)
             dec_dims = _layer_dims(g.model.decoder_features, g.latent_dim)
-            if dataset_kind == "sphere":
-                idim = g.datasets[0].dim
-                a_t_rows.extend(jnp.zeros((LANE, LANE), jnp.float32)
-                                for _ in g.datasets)
-            elif dataset_kind == "sigmoid":
-                idim = g.datasets[0].dim
-                a_t_rows.extend(
-                    jnp.zeros((LANE, LANE), jnp.float32)
-                    .at[: d.dim, d.dim].set(d.A[:, 0])
-                    for d in g.datasets
-                )
-            else:
-                idim = g.datasets[0].intrinsic_dim
-                a_t_rows.extend(_pack_mat((LANE, LANE), d.A.T)
-                                for d in g.datasets)
+            _, _, idim, a_t_g = manifold_rows(g.datasets, size=LANE)
+            a_t_groups.append(a_t_g)
             group_meta.append((g.data_dim, g.latent_dim, idim,
                                enc_dims, dec_dims))
             sizes.append(len(g.seeds))
-        a_t_all = jnp.stack(a_t_rows)
+        a_t_all = jnp.concatenate(a_t_groups, axis=0)
         total_rows = sum(sizes)
         self.n_rows = total_rows
 
