@@ -51,7 +51,7 @@ CONFIGS = {
 }
 
 
-def make_cfg(config: str, kernels: str = "auto"):
+def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16"):
     from vae_training_tpu.config import RunConfig
 
     return RunConfig(
@@ -62,15 +62,17 @@ def make_cfg(config: str, kernels: str = "auto"):
         dataset_seed=2,
         tqdm=False,
         kernels=kernels,
+        precision=precision,
         **CONFIGS[config],
     ).validate()
 
 
-def build(kernels: str = "auto", config: str = "linear"):
+def build(kernels: str = "auto", config: str = "linear",
+          precision: str = "bf16"):
     from vae_training_tpu.data import get_dataset
     from vae_training_tpu.train import Trainer
 
-    cfg = make_cfg(config, kernels)
+    cfg = make_cfg(config, kernels, precision)
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
     trainer = Trainer(cfg, dataset, output_dir=".")
     return trainer
@@ -230,6 +232,11 @@ def main() -> int:
     p.add_argument("--latency", action="store_true",
                    help="Also report per-step dispatch latency percentiles "
                         "(stderr).")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
+                   help="Fused-kernel matmul precision: bf16 (default, "
+                        "MXU-native) or fp32 (Precision.HIGHEST true-fp32 "
+                        "dots — measures the cost of reference-exact "
+                        "arithmetic).")
     args = p.parse_args()
 
     enable_compile_cache()
@@ -243,7 +250,7 @@ def main() -> int:
         steps_per_sec = measure_conv(conv_trainer, dataset)
     else:
         try:
-            trainer = build("auto", args.config)
+            trainer = build("auto", args.config, args.precision)
             log(f"backend fns: {trainer.fns!r}")
             steps_per_sec = measure(trainer)
         except Exception as e:  # scoring insurance: fall back to the XLA path

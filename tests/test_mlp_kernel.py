@@ -241,6 +241,95 @@ def test_mlp_padded_regions_stay_zero():
         assert np.all(b[0, dout:] == 0), li
 
 
+def test_mlp_kernel_fp32_dots_identical_on_cpu():
+    """--precision fp32 (Precision.HIGHEST dots) must be a numeric no-op on
+    the CPU interpret backend, where default dots are already exact fp32 —
+    i.e. the flag changes the MXU pass structure on TPU, never the math.
+    (On TPU, default f32 dots are single-pass bf16-operand; HIGHEST is the
+    true-fp32 mode. Measured there by tools/check_precision.py.)"""
+    n_steps = 4
+    dataset, model, tx, state = setup(tdv=True)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+    xs, z1s, z2s = sphere_noise(dataset, n_steps, seed=9)
+    noise = pad_noise(xs, z1s, z2s, n_steps)
+    kwargs = dict(
+        n_steps=n_steps, seed_and_t0=jnp.array([7, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32),
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sphere", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=True, lr=1e-3,
+        external_noise=noise, interpret=True,
+    )
+    packed = pack_mlp_state(state, enc_dims, dec_dims, True)
+    pk_def, losses_def = run_mlp_fused_chunk(packed=packed, **kwargs)
+    packed = pack_mlp_state(state, enc_dims, dec_dims, True)
+    pk_hi, losses_hi = run_mlp_fused_chunk(packed=packed, fp32_dots=True,
+                                           **kwargs)
+    np.testing.assert_array_equal(np.asarray(losses_hi),
+                                  np.asarray(losses_def))
+    for li in range(len(pk_def[0])):
+        np.testing.assert_array_equal(np.asarray(pk_hi[0][li]),
+                                      np.asarray(pk_def[0][li]))
+
+
+BATCH_SMALL = 6
+
+
+def test_linear_kernel_fp32_dots_identical_on_cpu():
+    from vae_training_tpu.data import LinearGaussianDataset
+    from vae_training_tpu.kernels.linear_vae import (
+        pack_state, run_fused_chunk, N)
+    from vae_training_tpu.train import TrainState
+
+    dataset = LinearGaussianDataset.create(2, dimension=3,
+                                           intrinsic_dimension=2,
+                                           padding_dimension=4)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=5, epsilon=-1.0,
+                      tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, dataset.dimension)),
+        jnp.zeros((1, 5)), jnp.zeros((1, dataset.dimension)))["params"]
+    state = TrainState.create(params=params, tx=tx,
+                              model_key=jax.random.PRNGKey(1),
+                              data_key=jax.random.PRNGKey(2))
+    rng = np.random.RandomState(3)
+    n_steps, rows = 3, 8
+    xs = np.zeros((n_steps, rows, N), np.float32)
+    xs[:, :BATCH_SMALL, : dataset.dimension] = rng.randn(
+        n_steps, BATCH_SMALL, dataset.dimension)
+    z1 = np.zeros((n_steps, rows, N), np.float32)
+    z1[:, :BATCH_SMALL, :5] = rng.randn(n_steps, BATCH_SMALL, 5)
+    z2 = np.zeros((n_steps, rows, N), np.float32)
+    z2[:, :BATCH_SMALL, : dataset.dimension] = rng.randn(
+        n_steps, BATCH_SMALL, dataset.dimension)
+    a_t = jnp.zeros((N, N), jnp.float32)
+    kw = dict(n_steps=n_steps, seed_and_t0=jnp.array([5, 0], jnp.int32),
+              a_t=a_t, batch=BATCH_SMALL, data_dim=dataset.dimension,
+              latent_dim=5, intrinsic_dim=2, var_added=0.0, eps_const=-1.0,
+              tdv=True, lr=1e-3,
+              external_noise=tuple(map(jnp.asarray, (xs, z1, z2))),
+              interpret=True)
+    b_def, l_def = run_fused_chunk(
+        buffers=pack_state(state, dataset.dimension, 5, True), **kw)
+    b_hi, l_hi = run_fused_chunk(
+        buffers=pack_state(state, dataset.dimension, 5, True),
+        fp32_dots=True, **kw)
+    np.testing.assert_array_equal(np.asarray(l_hi), np.asarray(l_def))
+    np.testing.assert_array_equal(np.asarray(b_hi[0]), np.asarray(b_def[0]))
+
+
+def test_precision_flag_validation():
+    from vae_training_tpu.config import RunConfig
+
+    RunConfig(dataset="sphere", precision="fp32").validate()
+    with pytest.raises(ValueError, match="precision"):
+        RunConfig(dataset="sphere", precision="fp16").validate()
+
+
 def test_mlp_supported_gating():
     from types import SimpleNamespace
 

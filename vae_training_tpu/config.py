@@ -80,6 +80,13 @@ class RunConfig:
     # Checkpoint serialization: flax msgpack (single file, fast) or orbax
     # (ecosystem-standard tensorstore layout). --resume reads either.
     ckpt_backend: str = "msgpack"
+    # Matmul precision on the fused kernels. bf16 (default) is the MXU's
+    # native mode — single-pass bfloat16 operands with f32 accumulation,
+    # which is ALSO what XLA:TPU does for f32 dots by default, so both
+    # backends agree. fp32 forces Precision.HIGHEST (~3 bf16 passes per
+    # dot) for true-fp32 matmul arithmetic. Accumulation, ELBO, gradients,
+    # Adam, and master weights are f32 in both modes.
+    precision: str = "bf16"
 
     # --- derived ----------------------------------------------------------
     @property
@@ -98,6 +105,9 @@ class RunConfig:
             )
         if self.kernels not in ("auto", "xla", "pallas"):
             raise ValueError(f"--kernels must be auto|xla|pallas, got {self.kernels}")
+        if self.precision not in ("fp32", "bf16"):
+            raise ValueError(
+                f"--precision must be fp32|bf16, got {self.precision}")
         return self
 
     def to_json_dict(self) -> dict:
@@ -195,6 +205,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_backend", dest="ckpt_backend", default="msgpack",
                    choices=["msgpack", "orbax"],
                    help="Checkpoint format; --resume auto-detects either.")
+    p.add_argument("--precision", dest="precision", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="Fused-kernel matmul precision. bf16 (default) is "
+                        "the MXU-native mode — bfloat16 operands, f32 "
+                        "accumulation — matching XLA:TPU's default for f32 "
+                        "dots. fp32 forces true-fp32 matmuls "
+                        "(Precision.HIGHEST) for reference-exact arithmetic "
+                        "at ~3x the per-dot MXU cost.")
     return p
 
 

@@ -174,6 +174,7 @@ def _make_kernel(
     dataset_kind: str = "linear",  # "linear" | "sigmoid"
     dual: bool = False,  # dual sigmoid+plain decoder (sigmoid configs)
     grid: bool = False,  # one grid step per sweep seed (blocks have lead dim 1)
+    fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
@@ -249,6 +250,12 @@ def _make_kernel(
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
             sig_col_m = (col_ids == id_i).astype(jnp.float32)
 
+        # --precision: None = MXU-native single-pass bf16 operands (the
+        # default for f32 dots on TPU); HIGHEST = true-fp32 matmuls. See
+        # mlp_vae.py for the full rationale; CPU interpret (the equivalence
+        # suite) is exact fp32 in both modes.
+        prec = jax.lax.Precision.HIGHEST if fp32_dots else None
+
         def body(i, carry):
             (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws,
              mvec, vvec) = carry
@@ -264,11 +271,11 @@ def _make_kernel(
                 n_int = n_raw * int_m
                 if dataset_kind == "sigmoid":
                     logit = jnp.dot(n_int, a_t,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32, precision=prec)
                     x = n_int + jax.nn.sigmoid(logit) * sig_col_m
                 else:
                     x = jnp.dot(n_int, a_t,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=prec)
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
                 if dataset_kind == "linear" and var_added > 0.0:
@@ -289,13 +296,13 @@ def _make_kernel(
                 eps = jnp.float32(eps_const)
 
             # --- forward -------------------------------------------------
-            mu = jnp.dot(x, we, preferred_element_type=jnp.float32) + be
+            mu = jnp.dot(x, we, preferred_element_type=jnp.float32, precision=prec) + be
             mu = mu * row_m  # padded batch rows see bias; mask them out
             sdev = jnp.exp(ep * 0.5) * lat_m  # e^{ep/2} on live cols, 0 pad
             s = mu + sdev * z1
-            y = jnp.dot(s, wd, preferred_element_type=jnp.float32) + bd
+            y = jnp.dot(s, wd, preferred_element_type=jnp.float32, precision=prec) + bd
             if dual:
-                u = jnp.dot(s, ws, preferred_element_type=jnp.float32) + bs_row(vec)
+                u = jnp.dot(s, ws, preferred_element_type=jnp.float32, precision=prec) + bs_row(vec)
                 sig_u = jax.nn.sigmoid(u)
                 # mask: padded output cols would otherwise get σ(0)=0.5
                 y = y + sig_u * dat_m
@@ -324,28 +331,28 @@ def _make_kernel(
             # g_Wd = sᵀ·g_y ; g_We = xᵀ·g_mu  (contract the batch dim)
             g_wd = jax.lax.dot_general(
                 s, g_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             g_bd = jnp.sum(g_y, axis=0, keepdims=True)
             # g_s = g_y·Wdᵀ (contract data dim)
             g_s = jax.lax.dot_general(
                 g_y, wd, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             if dual:
                 g_u = g_y * sig_u * (1.0 - sig_u) * dat_m
                 g_ws = jax.lax.dot_general(
                     s, g_u, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
                 g_bs = jnp.sum(g_u, axis=0, keepdims=True)
                 g_s = g_s + jax.lax.dot_general(
                     g_u, ws, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
             else:
                 g_ws = jnp.zeros((N, N), jnp.float32)
                 g_bs = jnp.zeros((1, N), jnp.float32)
             g_mu = g_s + mu * inv_b
             g_we = jax.lax.dot_general(
                 x, g_mu, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             g_be = jnp.sum(g_mu, axis=0, keepdims=True)
             g_ep = (jnp.sum(g_s * z1, axis=0, keepdims=True) * 0.5 * sdev
                     + 0.5 * (jnp.exp(ep) - 1.0) * lat_m)
@@ -412,6 +419,7 @@ def run_fused_chunk(
     external_noise: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
     grid_n: int = 0,
+    fp32_dots: bool = False,
 ):
     """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
 
@@ -430,6 +438,7 @@ def run_fused_chunk(
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None,
         dataset_kind=dataset_kind, dual=dual, grid=grid_n > 0,
+        fp32_dots=fp32_dots,
     )
     lead = (grid_n,) if grid_n else ()
     blead = (1,) if grid_n else ()
@@ -671,7 +680,8 @@ def pallas_supported(model, dataset, cfg,
 
 @lru_cache(maxsize=64)
 def _shared_chunk_fn(batch, data_dim, latent_dim, intrinsic_dim, var_added,
-                     eps_const, tdv, lr, dataset_kind, dual):
+                     eps_const, tdv, lr, dataset_kind, dual,
+                     fp32_dots=False):
     """One jitted chunk fn per STATIC config, shared across dataset seeds.
 
     The manifold matrix ``a_t`` is a runtime argument, so a whole multi-seed
@@ -697,6 +707,7 @@ def _shared_chunk_fn(batch, data_dim, latent_dim, intrinsic_dim, var_added,
             lr=lr,
             dataset_kind=dataset_kind,
             dual=dual,
+            fp32_dots=fp32_dots,
         )
         new_state = unpack_state(
             state, new_buffers, n_steps, data_dim, latent_dim, tdv, dual=dual
@@ -718,7 +729,7 @@ def make_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
     shared = _shared_chunk_fn(
         cfg.batch_size, data_dim, latent_dim, intrinsic_dim, float(var_added),
         float(model.epsilon), tdv, float(cfg.learning_rate), dataset_kind,
-        dual,
+        dual, getattr(cfg, "precision", "bf16") == "fp32",
     )
 
     def train_chunk(state: TrainState, n_steps: int):

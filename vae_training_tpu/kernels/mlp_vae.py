@@ -83,6 +83,7 @@ def _make_kernel(
     external_noise: bool,
     grid: bool = False,  # one grid step per sweep seed (lead dim 1 blocks)
     dual: bool = False,  # sigmoid-dataset decoder pair: x̂ = σ(Sig(s)) + Dec(s)
+    fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
 ):
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
@@ -155,18 +156,30 @@ def _make_kernel(
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
             sig_col_m = (col_ids == id_i).astype(jnp.float32)
 
+        # Matmul precision. Mosaic's DEFAULT f32 dot feeds the MXU single-pass
+        # bfloat16 operands with f32 accumulation (measured: identical output
+        # to an explicit bf16 operand cast) — that hardware-native mode is
+        # --precision bf16, the default, and what every headline number uses.
+        # --precision fp32 forces Precision.HIGHEST (~3 bf16 passes per dot)
+        # for true-fp32 arithmetic. Accumulation, masks, ELBO, gradients,
+        # Adam, and the resident master weights are f32 in both modes. On the
+        # CPU interpret backend (the equivalence suite) both modes are exact
+        # fp32, so the math is pinned to jax.grad+optax either way.
+        prec = jax.lax.Precision.HIGHEST if fp32_dots else None
+
         def dotf(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=prec)
 
         def dot_t1(a, b):  # aᵀ·b (contract batch/rows)
             return jax.lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
 
         def dot_t2(a, b):  # a·bᵀ (contract last dims)
             return jax.lax.dot_general(
                 a, b, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
 
         def mlp_fwd(x, ws, bs, dims):
             """Returns (output, saved pre-activation relu masks, saved
@@ -465,6 +478,7 @@ def run_mlp_fused_chunk(
     interpret: bool = False,
     grid_n: int = 0,
     dual: bool = False,
+    fp32_dots: bool = False,
 ):
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
@@ -472,7 +486,7 @@ def run_mlp_fused_chunk(
         dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None, grid=grid_n > 0,
-        dual=dual,
+        dual=dual, fp32_dots=fp32_dots,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
@@ -604,7 +618,7 @@ def mlp_pallas_supported(model, dataset, cfg,
 @lru_cache(maxsize=64)
 def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
                          dataset_kind, intrinsic_dim, var_added, eps_const,
-                         tdv, lr, dual=False):
+                         tdv, lr, dual=False, fp32_dots=False):
     """One jitted chunk fn per static config, shared across dataset seeds
     (the manifold matrix is a runtime argument)."""
     enc_dims, dec_dims = list(enc_dims), list(dec_dims)
@@ -629,6 +643,7 @@ def _shared_mlp_chunk_fn(batch, data_dim, latent_dim, enc_dims, dec_dims,
             tdv=tdv,
             lr=lr,
             dual=dual,
+            fp32_dots=fp32_dots,
         )
         new_state = unpack_mlp_state(
             state, new_packed, n_steps, enc_dims, dec_dims, tdv, latent_dim,
@@ -658,6 +673,7 @@ def make_mlp_pallas_step_fns(model, dataset, tx, cfg) -> StepFns:
         tuple(map(tuple, enc_dims)), tuple(map(tuple, dec_dims)),
         dataset_kind, intrinsic_dim, float(var_added), float(model.epsilon),
         tdv, float(cfg.learning_rate), dual,
+        getattr(cfg, "precision", "bf16") == "fp32",
     )
 
     def train_chunk(state: TrainState, n_steps: int):

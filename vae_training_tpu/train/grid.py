@@ -309,6 +309,7 @@ class GridTrainer:
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
                 lr=cfg.learning_rate, dataset_kind=dataset_kind, dual=dual,
                 grid_n=grid_n,
+                fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
             )
             new_grid = jax.vmap(
                 lambda st, *bufs: unpack_state(
@@ -359,6 +360,7 @@ class GridTrainer:
                 dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
                 lr=cfg.learning_rate, grid_n=grid_n, dual=dual,
+                fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
             )
             new_grid = jax.vmap(
                 lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec:

@@ -258,6 +258,7 @@ class MixedGridSweep:
                     tdv=tdv, lr=float(cfg.learning_rate),
                     dataset_kind=dataset_kind, dual=dual,
                     grid_n=seeds_r.shape[0],
+                    fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
                 )
 
             new_buffers, losses = self._shard_rows(run_rows)(
@@ -338,6 +339,7 @@ class MixedGridSweep:
                     var_added=float(var_added), eps_const=float(cfg.epsilon),
                     tdv=tdv, lr=float(cfg.learning_rate),
                     grid_n=seeds_r.shape[0], dual=dual,
+                    fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
                 )
 
             new_packed, losses = self._shard_rows(run_rows)(
