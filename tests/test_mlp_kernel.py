@@ -330,6 +330,32 @@ def test_precision_flag_validation():
         RunConfig(dataset="sphere", precision="fp16").validate()
 
 
+def test_linen_model_precision_identical_on_cpu():
+    """--precision also reaches the XLA/linen path (nn.Dense precision=...);
+    on CPU both modes are exact fp32 so outputs must be identical — the
+    flag only changes MXU pass structure on TPU."""
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    outs = {}
+    for spec in ("bf16", "fp32"):
+        model = build_vae(
+            data_dim=dataset.dimension, latent_dim=LATENT,
+            encoder_layer_sizes=HIDDEN, decoder_layer_sizes=HIDDEN,
+            epsilon=-3.0, tunable_decoder_var=True, precision=spec,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, dataset.dimension)), jnp.zeros((1, LATENT)),
+            jnp.zeros((1, dataset.dimension)))["params"]
+        x = dataset.sample(jax.random.PRNGKey(1), BATCH)
+        z1 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, LATENT))
+        z2 = jax.random.normal(jax.random.PRNGKey(3),
+                               (BATCH, dataset.dimension))
+        x_hat, mu, _, _ = model.apply({"params": params}, x, z1, z2)
+        outs[spec] = (np.asarray(x_hat), np.asarray(mu))
+    np.testing.assert_array_equal(outs["bf16"][0], outs["fp32"][0])
+    np.testing.assert_array_equal(outs["bf16"][1], outs["fp32"][1])
+
+
 def test_mlp_supported_gating():
     from types import SimpleNamespace
 

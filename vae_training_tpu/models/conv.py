@@ -19,20 +19,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .networks import to_dot_precision
+
 
 class ConvEncoder(nn.Module):
     """Strided conv stack → flatten → dense posterior mean."""
 
     latent_dim: int
     channels: Sequence[int] = (32, 64)
+    matmul_precision: str = "bf16"  # --precision: "bf16" | "fp32"
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, C)
+        prec = to_dot_precision(self.matmul_precision)
         for i, ch in enumerate(self.channels):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), name=f"Conv{i}")(x)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), name=f"Conv{i}",
+                        precision=prec)(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.latent_dim, name="FCmu")(x)
+        return nn.Dense(self.latent_dim, name="FCmu", precision=prec)(x)
 
 
 class ConvDecoder(nn.Module):
@@ -41,19 +46,24 @@ class ConvDecoder(nn.Module):
     out_hwc: Tuple[int, int, int]
     channels: Sequence[int] = (64, 32)
     sigmoid_head: bool = False
+    matmul_precision: str = "bf16"  # --precision: "bf16" | "fp32"
 
     @nn.compact
     def __call__(self, z):  # z: (B, latent)
         h, w, c = self.out_hwc
         n_up = len(self.channels)
+        prec = to_dot_precision(self.matmul_precision)
         h0, w0 = h // (2 ** n_up), w // (2 ** n_up)
-        x = nn.Dense(h0 * w0 * self.channels[0], name="FCin")(z)
+        x = nn.Dense(h0 * w0 * self.channels[0], name="FCin",
+                     precision=prec)(z)
         x = nn.relu(x)
         x = x.reshape(z.shape[0], h0, w0, self.channels[0])
         for i, ch in enumerate(self.channels[1:], start=1):
-            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), name=f"Up{i}")(x)
+            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), name=f"Up{i}",
+                                 precision=prec)(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(c, (3, 3), strides=(2, 2), name="UpOut")(x)
+        x = nn.ConvTranspose(c, (3, 3), strides=(2, 2), name="UpOut",
+                             precision=prec)(x)
         if self.sigmoid_head:
             x = nn.sigmoid(x)
         return x
@@ -72,6 +82,7 @@ class ConvVAE(nn.Module):
     epsilon: float = 0.0
     tunable_decoder_var: bool = False
     dual_sigmoid_decoder: bool = False  # interface parity; unused for images
+    matmul_precision: str = "bf16"  # --precision: "bf16" | "fp32"
 
     @property
     def data_dim(self) -> int:
@@ -86,9 +97,11 @@ class ConvVAE(nn.Module):
                 f"image size {h}x{w} must be divisible by 2^{n_up}"
             )
         self.encoder = ConvEncoder(
-            self.latent_dim, channels=self.channels, name="Encoder")
+            self.latent_dim, channels=self.channels, name="Encoder",
+            matmul_precision=self.matmul_precision)
         self.decoder = ConvDecoder(
-            (h, w, c), channels=tuple(reversed(self.channels)), name="Decoder")
+            (h, w, c), channels=tuple(reversed(self.channels)), name="Decoder",
+            matmul_precision=self.matmul_precision)
         self.epsilon_p = self.param(
             "epsilon_p", jax.nn.initializers.ones, (self.latent_dim,))
         if self.tunable_decoder_var:
@@ -127,6 +140,7 @@ def build_conv_vae(
     channels_spec: str = "32|64",
     epsilon: float = 0.0,
     tunable_decoder_var: bool = False,
+    precision: str = "bf16",
 ) -> ConvVAE:
     from .networks import parse_layer_sizes
 
@@ -137,4 +151,5 @@ def build_conv_vae(
         channels=tuple(channels),
         epsilon=epsilon,
         tunable_decoder_var=tunable_decoder_var,
+        matmul_precision=precision,
     )

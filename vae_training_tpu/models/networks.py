@@ -24,11 +24,22 @@ are structurally comparable to the reference's model.pkl.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def to_dot_precision(spec: str) -> Optional[jax.lax.Precision]:
+    """--precision value → the per-dot precision for linen/kernel matmuls.
+
+    ``bf16`` (default) → None: the TPU's native f32-dot mode (single-pass
+    bfloat16 operands, f32 accumulation — XLA and Mosaic alike). ``fp32`` →
+    ``Precision.HIGHEST``: true-fp32 matmuls. See docs/architecture.md
+    "Matmul precision" and tools/check_precision.py.
+    """
+    return jax.lax.Precision.HIGHEST if spec == "fp32" else None
 
 
 class FullyConnectedNetwork(nn.Module):
@@ -46,6 +57,7 @@ class FullyConnectedNetwork(nn.Module):
     leaky: bool = False
     batch_norm: bool = False
     unit_normal_init: bool = False  # reference's `datasets=True` kernel init
+    matmul_precision: str = "bf16"  # --precision: "bf16" | "fp32"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -54,9 +66,11 @@ class FullyConnectedNetwork(nn.Module):
             if self.unit_normal_init
             else nn.linear.default_kernel_init
         )
+        prec = to_dot_precision(self.matmul_precision)
         n = len(self.features)
         for i, size in enumerate(self.features):
-            x = nn.Dense(size, name=f"FC{i}", kernel_init=kernel_init)(x)
+            x = nn.Dense(size, name=f"FC{i}", kernel_init=kernel_init,
+                         precision=prec)(x)
             if i + 1 < n:
                 x = nn.leaky_relu(x, 0.1) if self.leaky else nn.relu(x)
                 if self.batch_norm:
@@ -80,13 +94,19 @@ class VAE(nn.Module):
     epsilon: float = 0.0
     tunable_decoder_var: bool = False
     dual_sigmoid_decoder: bool = False
+    matmul_precision: str = "bf16"  # --precision: "bf16" | "fp32"
 
     def setup(self):
-        self.encoder = FullyConnectedNetwork(self.encoder_features, name="Encoder")
-        self.decoder = FullyConnectedNetwork(self.decoder_features, name="Decoder")
+        self.encoder = FullyConnectedNetwork(
+            self.encoder_features, name="Encoder",
+            matmul_precision=self.matmul_precision)
+        self.decoder = FullyConnectedNetwork(
+            self.decoder_features, name="Decoder",
+            matmul_precision=self.matmul_precision)
         if self.dual_sigmoid_decoder:
             self.sig_decoder = FullyConnectedNetwork(
-                self.decoder_features, sigmoid_head=True, name="SigDecoder"
+                self.decoder_features, sigmoid_head=True, name="SigDecoder",
+                matmul_precision=self.matmul_precision
             )
         # Global posterior log-variance vector — ones init
         # (/root/reference/networks.py:69).
@@ -152,6 +172,7 @@ def build_vae(
     epsilon: float = 0.0,
     tunable_decoder_var: bool = False,
     dataset_name: str | None = None,
+    precision: str = "bf16",
 ) -> VAE:
     """Construct a VAE from the reference's CLI-level hyperparameters."""
     enc = parse_layer_sizes(encoder_layer_sizes) + (latent_dim,)
@@ -163,4 +184,5 @@ def build_vae(
         epsilon=epsilon,
         tunable_decoder_var=tunable_decoder_var,
         dual_sigmoid_decoder=(dataset_name == "sigmoid"),
+        matmul_precision=precision,
     )

@@ -112,6 +112,7 @@ class GridTrainer:
             epsilon=cfg.epsilon,
             tunable_decoder_var=cfg.tunable_decoder_var,
             dataset_name=cfg.dataset,
+            precision=cfg.precision,
         )
         self.tx = make_adam(cfg.learning_rate)  # shared with kernels
         self.dataset_grid = stack_pytrees(self.datasets)

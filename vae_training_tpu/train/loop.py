@@ -89,6 +89,7 @@ class Trainer:
                 channels_spec=cfg.conv_channels,
                 epsilon=cfg.epsilon,
                 tunable_decoder_var=cfg.tunable_decoder_var,
+                precision=cfg.precision,
             )
         else:
             self.model = build_vae(
@@ -99,6 +100,7 @@ class Trainer:
                 epsilon=cfg.epsilon,
                 tunable_decoder_var=cfg.tunable_decoder_var,
                 dataset_name=cfg.dataset,
+                precision=cfg.precision,
             )
 
         # Host-side key chain, seeded like the reference's fixed PRNGKey(0)
