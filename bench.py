@@ -115,23 +115,25 @@ def measure_conv(trainer, dataset, reps: int = 30) -> float:
     return (reps * n_batches) / dt
 
 
-def build_grid(kernels: str = "auto"):
+def build_grid(kernels: str = "auto", precision: str = "bf16"):
     """The 21-row mixed-dimension linear sweep as ONE launch (the grid
     headline): 7 (dd, pd, ld) rows × 3 seeds, trained by MixedGridSweep."""
     import sweep as sweep_mod
     from vae_training_tpu.train.grid import GridTrainer
-    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+    from vae_training_tpu.train.mixed_grid import (
+        MixedGridSweep, MixedSweepUnavailable)
 
     seeds = sweep_mod.SWEEP_SEEDS["linear"]
     rows = {}
     for cfg in sweep_mod.sweep_configs("linear", "data", None, kernels):
+        cfg.precision = precision  # reaches fp32_dots in the fused kernels
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
     groups = [GridTrainer(by_seed[seeds[0]], seeds)
               for by_seed in rows.values()]
     try:
         return MixedGridSweep(groups)
-    except ValueError as e:
+    except MixedSweepUnavailable as e:
         # scoring insurance: outside the fused envelope (e.g. non-TPU
         # backend), measure the same 21 rows as per-group grid launches —
         # an honest aggregate, and the one-JSON-line contract survives
@@ -157,11 +159,12 @@ def measure_grid(sweep, chunk_steps: int = 20_000, reps: int = 3) -> float:
     (completion forced through the state chain — see measure())."""
     grids = tuple(g.state_grid for g in sweep.groups)
     grids, losses = sweep._train_chunk(grids, chunk_steps)  # warmup+compile
-    float(losses[-1][-1][-1])
+    for l in losses:  # force EVERY group's chain, not just the last —
+        float(l[-1][-1])  # per-group fallback chunks are independent
     t0 = time.perf_counter()
     for _ in range(reps):
         grids, losses = sweep._train_chunk(grids, chunk_steps)
-    final_loss = float(losses[-1][-1][-1])
+    final_loss = [float(l[-1][-1]) for l in losses][-1]
     dt = time.perf_counter() - t0
     log(f"final loss after bench chain: {final_loss:.3f}")
     for g, ng in zip(sweep.groups, grids):
@@ -243,7 +246,7 @@ def main() -> int:
     log(f"devices: {jax.devices()}")
     trainer = None
     if args.config == "grid":
-        sweep = build_grid("auto")
+        sweep = build_grid("auto", args.precision)
         steps_per_sec = measure_grid(sweep)
     elif args.config == "conv":
         conv_trainer, dataset = build_conv()
@@ -255,7 +258,7 @@ def main() -> int:
             steps_per_sec = measure(trainer)
         except Exception as e:  # scoring insurance: fall back to the XLA path
             log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
-            trainer = build("xla", args.config)
+            trainer = build("xla", args.config, args.precision)
             steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
     if args.latency:

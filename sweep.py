@@ -162,7 +162,8 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
         # as one kernel launch per device — per-row dims ride the scalar-
         # prefetch buffer; with --mesh the row axis is sharded over dp.
         # Falls back to per-row launches outside the envelope.
-        from vae_training_tpu.train.mixed_grid import run_mixed_sweep
+        from vae_training_tpu.train.mixed_grid import (
+            MixedSweepUnavailable, run_mixed_sweep)
 
         mixed_rows = []
         for key, by_seed in rows.items():
@@ -177,7 +178,10 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
                   + (f" sharded over {mesh}" if mesh else "")
                   + f" in {time.perf_counter() - t0:.1f}s", flush=True)
             return rc
-        except ValueError as e:
+        except MixedSweepUnavailable as e:
+            # Eligibility only — raised by MixedGridSweep.__init__ before
+            # any IO. A ValueError from mid-training must propagate, not
+            # silently restart the whole sweep per-row.
             print(f"[sweep] one-launch unavailable ({e}); "
                   f"per-row grid launches", flush=True)
 

@@ -76,3 +76,36 @@ def test_grouped_sweep_runs_rows_as_grids(tmp_path, monkeypatch):
         assert os.path.exists(os.path.join(out, "losses.npz")), out
         z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
         assert np.isfinite(z["VAE Loss"]).all()
+
+def test_mid_training_valueerror_propagates(tmp_path, monkeypatch):
+    """Only MixedSweepUnavailable (pre-IO eligibility) falls back to
+    per-row launches; a ValueError from inside training must propagate —
+    otherwise hours of one-launch progress would silently rerun per-row."""
+    from vae_training_tpu.train import mixed_grid
+
+    monkeypatch.setattr(sweep_mod, "LINEAR_GRID", [(3, 9, 20)])
+
+    def boom(rows, mesh_spec="", resume=False):
+        raise ValueError("mid-training shape error")
+
+    monkeypatch.setattr(mixed_grid, "run_mixed_sweep", boom)
+    with pytest.raises(ValueError, match="mid-training"):
+        sweep_mod.run_grouped("linear", str(tmp_path), 60, "auto")
+
+
+def test_eligibility_error_falls_back_per_row(tmp_path, monkeypatch):
+    """MixedSweepUnavailable from the mixed path → per-row grid launches
+    still produce every row's artifacts."""
+    from vae_training_tpu.train import mixed_grid
+
+    monkeypatch.setattr(sweep_mod, "LINEAR_GRID", [(3, 9, 20)])
+
+    def unavailable(rows, mesh_spec="", resume=False):
+        raise mixed_grid.MixedSweepUnavailable("synthetic ineligibility")
+
+    monkeypatch.setattr(mixed_grid, "run_mixed_sweep", unavailable)
+    rc = sweep_mod.run_grouped("linear", str(tmp_path), 60, "auto")
+    assert rc == 0
+    for seed in (2, 3, 4):
+        out = os.path.join(str(tmp_path), f"vae3linear_gaussian_12dim{seed}")
+        assert os.path.exists(os.path.join(out, "losses.npz")), out

@@ -28,6 +28,7 @@ sequentially — so a same-flags solo run starts from different init draws.
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 from typing import List, Sequence
 
@@ -229,7 +230,7 @@ class GridTrainer:
                             raise
                         print(f"[grid] fused kernel unavailable "
                               f"({type(e).__name__}); using vmapped XLA",
-                              flush=True)
+                              file=sys.stderr, flush=True)
                         tried["ok"] = False
                         state_grid = jax.device_put(backup)
                         return vmapped(dataset_grid, state_grid, n_steps)

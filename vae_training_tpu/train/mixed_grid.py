@@ -21,6 +21,7 @@ are identical tiles regardless of row dims, so concatenation is free.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import List, Sequence, Tuple
 
@@ -32,6 +33,13 @@ from ..config import RunConfig
 from .grid import GridTrainer
 
 
+class MixedSweepUnavailable(ValueError):
+    """The row set is outside the one-launch kernel's envelope (raised by
+    MixedGridSweep.__init__ before any IO). Callers catch THIS — not bare
+    ValueError — so mid-training errors are never misread as ineligibility
+    and silently rerun per-row."""
+
+
 def _rows_uniform(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
     ref = groups[0]
     for g in groups[1:]:
@@ -41,6 +49,7 @@ def _rows_uniform(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
             and g.cfg.epsilon == ref.cfg.epsilon
             and g.cfg.tunable_decoder_var == ref.cfg.tunable_decoder_var
             and g.cfg.num_batches == ref.cfg.num_batches
+            and g.cfg.precision == ref.cfg.precision
             and g.model.dual_sigmoid_decoder == ref.model.dual_sigmoid_decoder
             and type(g.datasets[0]) is type(ref.datasets[0])
             and getattr(g.datasets[0], "var_added", 0.0)
@@ -120,7 +129,8 @@ class MixedGridSweep:
     def __init__(self, groups: List[GridTrainer], mesh_spec: str = ""):
         family, why = mixed_launch_eligible(groups)
         if not family:
-            raise ValueError(f"mixed one-launch sweep unavailable: {why}")
+            raise MixedSweepUnavailable(
+                f"mixed one-launch sweep unavailable: {why}")
         self.groups = groups
         self.cfg: RunConfig = groups[0].cfg
         self.mesh = None
@@ -128,8 +138,8 @@ class MixedGridSweep:
             from ..parallel.mesh import make_mesh, parse_mesh_spec
 
             if parse_mesh_spec(mesh_spec).get("tp", 1) > 1:
-                raise ValueError("mixed sweep shards rows over dp; "
-                                 "use a pure dp spec")
+                raise MixedSweepUnavailable(
+                    "mixed sweep shards rows over dp; use a pure dp spec")
             self.mesh = make_mesh(mesh_spec)
         if family == "mlp":
             self._build_chunk_mlp()
@@ -158,7 +168,8 @@ class MixedGridSweep:
                 if tried["ok"]:
                     raise
                 print(f"[mixed] one-launch kernel unavailable "
-                      f"({type(e).__name__}); per-row launches", flush=True)
+                      f"({type(e).__name__}); per-row launches",
+                      file=sys.stderr, flush=True)
                 tried["ok"] = False
                 state_grids = jax.device_put(backup)
                 return per_group_chunk(groups, state_grids, n_steps)
@@ -410,9 +421,11 @@ def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
     themselves stay mesh-less — the mixed sweep owns the sharding).
     ``resume`` continues every row from its own checkpoint (a preempted
     sweep restarts where it stopped, artifacts identical to an
-    uninterrupted one). Returns 0 on success; raises ValueError when the
-    row set is outside the fused kernel's envelope (callers fall back to
-    per-row grid launches).
+    uninterrupted one). Returns 0 on success; raises MixedSweepUnavailable
+    (before any IO) when the row set is outside the fused kernel's
+    envelope — callers catch exactly that and fall back to per-row grid
+    launches. Any other exception (including mid-training ValueErrors)
+    propagates.
     """
     from ..runio.outdir import make_output_dir
 
