@@ -270,3 +270,52 @@ def test_orbax_backend_roundtrip(tmp_outdir):
     assert int(resumed.state.step) == 40
     assert float(np.asarray(resumed.current_epsilon)) == -2.5
     assert tree_equal(resumed.state.params, trainer.state.params)
+
+def test_orbax_swap_is_preemption_safe(tmp_outdir):
+    """A kill between the orbax swap's two renames leaves the set-aside
+    .old directory; restore and checkpoint_exists must still see it."""
+    import shutil
+
+    from vae_training_tpu.runio.checkpoint import (
+        ORBAX_NAME,
+        checkpoint_exists,
+        save_checkpoint_orbax,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "orbswap", ckpt_backend="orbax")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 7)
+    save_checkpoint_orbax(out, trainer.state)
+    path = os.path.join(out, ORBAX_NAME)
+    # simulate preemption mid-swap: old renamed aside, new not yet installed
+    os.replace(path, path + ".old")
+    assert checkpoint_exists(out)
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 7
+    # a later save must clean the leftover and reinstall normally
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 1)
+    save_checkpoint_orbax(out, trainer.state)
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 8
+
+
+def test_async_save_failure_surfaces(tmp_outdir):
+    """A failed background save must raise on the next async save (or
+    wait_for_pending_saves), not silently disable checkpointing."""
+    import pytest
+
+    from vae_training_tpu.runio import checkpoint as ck
+
+    trainer, out, _ = build(tmp_outdir, "asyfail")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 3)
+    missing = os.path.join(out, "no_such_dir", "deeper")
+    fut = ck.save_checkpoint_async(missing, trainer.state)
+    with pytest.raises(Exception):
+        fut.result()  # the write itself failed (ENOENT)
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        ck.wait_for_pending_saves()
+    # error is cleared after being surfaced; saves work again
+    ck.save_checkpoint_async(out, trainer.state).result()
+    ck.wait_for_pending_saves()
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 3

@@ -92,3 +92,28 @@ def test_overwrite_protection(tmp_outdir):
     os.makedirs(os.path.join(tmp_outdir, "dup", "sub"), exist_ok=True)
     make_output_dir("dup", True, cfg, data_dir=tmp_outdir)
     assert os.listdir(os.path.join(tmp_outdir, "dup")) == ["args.json"]
+
+def test_kernels_package_import_is_lazy():
+    """dispatch.py tolerates a broken pallas import (falls back to XLA);
+    the kernels package must not defeat that by eagerly importing the
+    kernel modules at package-import time."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import sys\n"
+        "import vae_training_tpu.kernels as k\n"
+        "assert 'vae_training_tpu.kernels.linear_vae' not in sys.modules\n"
+        "assert 'vae_training_tpu.kernels.mlp_vae' not in sys.modules\n"
+        "from vae_training_tpu.kernels import pallas_supported  # resolves lazily\n"
+        "assert callable(pallas_supported)\n"
+        "print('LAZYOK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "LAZYOK" in out.stdout

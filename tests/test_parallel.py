@@ -157,3 +157,43 @@ def test_trainer_with_mesh(tmp_outdir):
     trainer.n_plot = 10**9
     trainer.train()
     assert len(trainer.recorder.loss_trace()) == 122  # 120 train + 2 evals
+
+def test_mesh_spec_validation_errors():
+    with pytest.raises(ValueError, match="Duplicate mesh axis"):
+        parse_mesh_spec("dp=2,dp=4")
+    with pytest.raises(ValueError, match="Bad size"):
+        parse_mesh_spec("dp=0")
+    with pytest.raises(ValueError, match="Bad size"):
+        parse_mesh_spec("tp=-3")
+    with pytest.raises(ValueError, match="At most one"):
+        make_mesh("dp=-1,tp=-1")
+    # -1 must not resolve to a zero-device axis
+    with pytest.raises(ValueError, match="resolves to 0"):
+        make_mesh("dp=16,tp=-1")
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh("dp=16")
+
+
+def test_tp_only_mesh_trains():
+    """--mesh tp=2 (no explicit dp axis) must not crash: make_mesh
+    guarantees a dp=1 axis so the gspmd batch sharding resolves."""
+    from vae_training_tpu.parallel import make_parallel_step_fns
+
+    mesh = make_mesh("tp=2")
+    assert mesh.shape["dp"] == 1 and mesh.shape["tp"] == 2
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=4,
+                      encoder_layer_sizes="16|16", decoder_layer_sizes="16|16",
+                      epsilon=-1.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    fns = make_parallel_step_fns(model, dataset, tx, batch_size=16,
+                                 mesh_spec="tp=2")
+    state = fns.place_state(_make_state(model, dataset, tx, 4))
+    state, losses = fns.train_chunk(state, 2)
+    assert losses.shape == (2,) and bool(jnp.all(jnp.isfinite(losses)))
+    # tp=1 alone routes to the dp backend and must also work
+    fns1 = make_parallel_step_fns(model, dataset, tx, batch_size=16,
+                                  mesh_spec="tp=1")
+    state1 = fns1.place_state(_make_state(model, dataset, tx, 4))
+    _, losses1 = fns1.train_chunk(state1, 2)
+    assert bool(jnp.all(jnp.isfinite(losses1)))

@@ -207,7 +207,9 @@ def _make_kernel(
                 g_bs[li] = jnp.sum(g, axis=0, keepdims=True)
                 if li > 0:
                     g = dot_t2(g, ws[li]) * relu_masks[li - 1]
-            g_in = dot_t2(g_out if len(ws) == 1 else g, ws[0])
+            # after the loop g is the gradient at layer 0's output (== g_out
+            # for a single-layer stack, since the loop never updates g)
+            g_in = dot_t2(g, ws[0])
             return g_ws, g_bs, g_in
 
         def body(i, carry):
@@ -245,13 +247,13 @@ def _make_kernel(
                 else:
                     z2 = _normal_block(rows) * dat_m * row_m
 
-            be_w = [w for w in ws[:n_enc]]
-            be_b = [b for b in bs[:n_enc]]
-            de_w = [w for w in ws[n_enc:n_enc + n_dec]]
-            de_b = [b for b in bs[n_enc:n_enc + n_dec]]
+            be_w = ws[:n_enc]
+            be_b = bs[:n_enc]
+            de_w = ws[n_enc:n_enc + n_dec]
+            de_b = bs[n_enc:n_enc + n_dec]
             if dual:
-                sg_w = [w for w in ws[n_enc + n_dec:]]
-                sg_b = [b for b in bs[n_enc + n_dec:]]
+                sg_w = ws[n_enc + n_dec:]
+                sg_b = bs[n_enc + n_dec:]
 
             ep = vec[2:3, :] * lat_m
             if tdv:

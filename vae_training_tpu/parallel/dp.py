@@ -22,9 +22,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.base import DistributionDataset
 from ..models.networks import VAE
-from ..ops.elbo import elbo_terms
 from ..train.state import TrainState
-from ..train.step import StepFns, sample_z, split_z, make_step_fns
+from ..train.step import (StepFns, make_elbo_grad_fn, make_step_fns,
+                          sample_z, split_z)
 
 
 def make_dp_step_fns(
@@ -43,12 +43,7 @@ def make_dp_step_fns(
     latent_dim = model.latent_dim
     data_dim = dataset.dimension
 
-    def loss_fn(params, batch, z1, z2):
-        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
-        return loss
-
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = make_elbo_grad_fn(model)
 
     def local_step(state: TrainState) -> Tuple[TrainState, jax.Array]:
         idx = jax.lax.axis_index("dp")

@@ -19,9 +19,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.base import DistributionDataset
 from ..models.networks import VAE
-from ..ops.elbo import elbo_terms
 from ..train.state import TrainState
-from ..train.step import StepFns, make_step_fns, sample_z, split_z
+from ..train.step import (StepFns, make_elbo_grad_fn, make_step_fns,
+                          sample_z, split_z)
 
 
 def _param_spec(path: Tuple, leaf) -> P:
@@ -115,12 +115,7 @@ def make_gspmd_step_fns(
     data_dim = dataset.dimension
     batch_sharding = NamedSharding(mesh, P("dp", None))
 
-    def loss_fn(params, batch, z1, z2):
-        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
-        return loss
-
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = make_elbo_grad_fn(model)
 
     def train_step(state: TrainState):
         kb = jax.random.fold_in(state.data_key, state.step)

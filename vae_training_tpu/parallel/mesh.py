@@ -13,6 +13,7 @@ remaining devices".
 
 from __future__ import annotations
 
+import sys
 from typing import Dict
 
 import jax
@@ -38,19 +39,51 @@ def parse_mesh_spec(spec: str) -> Dict[str, int]:
             raise ValueError(
                 f"Unsupported mesh axis {name!r}; supported: {SUPPORTED_AXES}"
             )
-        axes[name] = int(size)
+        if name in axes:
+            raise ValueError(f"Duplicate mesh axis {name!r} in {spec!r}")
+        size = int(size)
+        if size == 0 or size < -1:
+            raise ValueError(
+                f"Bad size for mesh axis {name}={size}; expected a positive "
+                f"integer or -1 (all remaining devices)"
+            )
+        axes[name] = size
     return axes
 
 
 def make_mesh(spec: str, devices=None) -> Mesh:
+    """Build the Mesh. The result ALWAYS carries a ``dp`` axis (inserted as
+    dp=1 for tp-only specs) — every sharding in parallel/{dp,gspmd}.py
+    partitions the batch over ``dp``, so its presence is part of the mesh
+    contract."""
     axes = parse_mesh_spec(spec)
     if not axes:
         raise ValueError("Empty mesh spec")
+    if "dp" not in axes:
+        axes = {"dp": 1, **axes}
     devices = list(devices if devices is not None else jax.devices())
+    wildcards = [n for n, s in axes.items() if s == -1]
+    if len(wildcards) > 1:
+        raise ValueError(
+            f"At most one mesh axis may be -1, got {wildcards} in {spec!r}"
+        )
     known = int(np.prod([s for s in axes.values() if s > 0]))
-    for name, size in axes.items():
-        if size == -1:
-            axes[name] = len(devices) // known
+    for name in wildcards:
+        resolved = len(devices) // known
+        if resolved < 1:
+            raise ValueError(
+                f"Mesh axis {name}=-1 resolves to 0: the explicit axes "
+                f"{ {n: s for n, s in axes.items() if s > 0} } already need "
+                f"{known} devices but only {len(devices)} are available"
+            )
+        if known * resolved != len(devices):
+            print(
+                f"[mesh] {name}=-1 -> {resolved}: using "
+                f"{known * resolved}/{len(devices)} devices "
+                f"({len(devices)} not divisible by {known})",
+                file=sys.stderr, flush=True,
+            )
+        axes[name] = resolved
     total = int(np.prod(list(axes.values())))
     if total > len(devices):
         raise ValueError(

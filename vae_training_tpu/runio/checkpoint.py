@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 from typing import Optional
 
 import jax
@@ -25,7 +27,15 @@ AUX_NAME = "ckpt_aux.pkl"
 _async_executor = None
 # One writer at a time per process: the plot-cadence sync save and the
 # --checkpoint_every async save target the same files.
-_write_lock = __import__("threading").Lock()
+_write_lock = threading.Lock()
+# First exception from a background save — surfaced on the NEXT async save
+# (or wait_for_pending_saves) so a full disk can't silently disable
+# checkpointing for hours while training continues.
+_async_error: Optional[BaseException] = None
+
+
+def _tmp_suffix() -> str:
+    return f".tmp.{os.getpid()}.{threading.get_ident()}"
 
 
 def _executor():
@@ -86,7 +96,7 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None,
     # async (--checkpoint_every) savers may race; writes must not interleave
     # and os.replace keeps every installed file atomic — a preempted save
     # never corrupts an existing checkpoint or its metadata.
-    suffix = f".tmp.{os.getpid()}.{__import__('threading').get_ident()}"
+    suffix = _tmp_suffix()
     with _write_lock:
         # Never replace a newer checkpoint with an older one (a queued async
         # save can run after a later sync save — possibly via the OTHER
@@ -119,15 +129,40 @@ def save_checkpoint_async(dirname: str, state, extra_meta: Optional[dict] = None
     interleave. ``backend`` matches --ckpt_backend so async (off-cadence)
     and sync (plot-cadence) saves land in the same format. ``aux`` must
     already be a stable host snapshot (the caller owns that)."""
+    _raise_pending_async_error()
     snapshot = jax.device_get(state)
     saver = save_checkpoint_orbax if backend == "orbax" else save_checkpoint
-    return _executor().submit(saver, dirname, snapshot, extra_meta, aux)
+    fut = _executor().submit(saver, dirname, snapshot, extra_meta, aux)
+    fut.add_done_callback(_record_async_failure)
+    return fut
+
+
+def _record_async_failure(fut) -> None:
+    global _async_error
+    exc = fut.exception()
+    if exc is not None:
+        print(f"[checkpoint] background save FAILED: "
+              f"{type(exc).__name__}: {exc}", file=sys.stderr, flush=True)
+        if _async_error is None:
+            _async_error = exc
+
+
+def _raise_pending_async_error() -> None:
+    global _async_error
+    if _async_error is not None:
+        exc, _async_error = _async_error, None
+        raise RuntimeError(
+            "a previous background checkpoint save failed — checkpointing "
+            "is broken, refusing to continue silently"
+        ) from exc
 
 
 def wait_for_pending_saves() -> None:
     """Block until every queued async checkpoint write has landed (the
-    writer is a single-worker executor, so a barrier task suffices)."""
+    writer is a single-worker executor, so a barrier task suffices), and
+    surface any background save failure."""
     _executor().submit(lambda: None).result()
+    _raise_pending_async_error()
 
 
 def restore_checkpoint(dirname: str, state_template):
@@ -140,12 +175,14 @@ def restore_checkpoint(dirname: str, state_template):
     meta = _read_meta(dirname)
     msgpack_path = os.path.join(dirname, CKPT_NAME)
     orbax_path = os.path.join(dirname, ORBAX_NAME)
+    have_orbax = (os.path.exists(orbax_path)
+                  or os.path.exists(orbax_path + ".old"))
     backend = (meta or {}).get("backend")
-    if backend == "orbax" and os.path.exists(orbax_path):
+    if backend == "orbax" and have_orbax:
         return restore_checkpoint_orbax(dirname, state_template)
     if backend == "msgpack" and os.path.exists(msgpack_path):
         pass  # fall through to the msgpack read below
-    elif not os.path.exists(msgpack_path) and os.path.exists(orbax_path):
+    elif not os.path.exists(msgpack_path) and have_orbax:
         return restore_checkpoint_orbax(dirname, state_template)
     with open(msgpack_path, "rb") as f:
         data = f.read()
@@ -153,9 +190,9 @@ def restore_checkpoint(dirname: str, state_template):
 
 
 def checkpoint_exists(dirname: str) -> bool:
-    return os.path.exists(os.path.join(dirname, CKPT_NAME)) or os.path.exists(
-        os.path.join(dirname, ORBAX_NAME)
-    )
+    orbax = os.path.join(dirname, ORBAX_NAME)
+    return (os.path.exists(os.path.join(dirname, CKPT_NAME))
+            or os.path.exists(orbax) or os.path.exists(orbax + ".old"))
 
 
 # ---------------------------------------------------------------------------
@@ -174,6 +211,7 @@ def save_checkpoint_orbax(dirname: str, state,
 
     path = os.path.abspath(os.path.join(dirname, ORBAX_NAME))
     tmp_path = path + ".new"
+    old_path = path + ".old"
     import shutil
 
     with _write_lock:
@@ -182,18 +220,25 @@ def save_checkpoint_orbax(dirname: str, state,
         prev = _read_meta(dirname)
         if prev is not None and prev.get("step", -1) > int(state.step):
             return path
-        if os.path.exists(tmp_path):
-            shutil.rmtree(tmp_path)
+        for leftover in (tmp_path, old_path):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(tmp_path, jax.device_get(state))
         ckptr.wait_until_finished()
+        # Directory swap that never leaves the run without a checkpoint:
+        # rename the old one ASIDE (not rmtree — a preemption between a
+        # delete and the install would destroy the only copy), install the
+        # new one, then delete the old. A kill mid-sequence leaves either
+        # the old ckpt at `path` or the new one; never neither.
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.replace(path, old_path)
         os.replace(tmp_path, path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
         if aux is not None:
-            suffix = (f".tmp.{os.getpid()}."
-                      f"{__import__('threading').get_ident()}")
-            _write_aux(dirname, {**aux, "step": int(state.step)}, suffix)
+            _write_aux(dirname, {**aux, "step": int(state.step)},
+                       _tmp_suffix())
         meta = {"step": int(state.step), "backend": "orbax"}
         if extra_meta:
             meta.update(extra_meta)
@@ -208,5 +253,9 @@ def restore_checkpoint_orbax(dirname: str, state_template):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(dirname, ORBAX_NAME))
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        # preempted mid-swap (old renamed aside, new not yet installed):
+        # the set-aside directory is a complete, valid checkpoint
+        path = path + ".old"
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, jax.device_get(state_template))

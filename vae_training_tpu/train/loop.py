@@ -588,6 +588,12 @@ class Trainer:
             self.recorder.correlation_ratios_per_param = per_param
 
     def save(self, final: bool = False) -> None:
+        if final:
+            # drain queued --checkpoint_every background writes and surface
+            # any failure — a run must not exit "ok" with a broken ckpt
+            from ..runio.checkpoint import wait_for_pending_saves
+
+            wait_for_pending_saves()
         self.model_save_data(final=final)
         self.recorder.save_npz(self.dirname, final=final)
         save_model_pkl(

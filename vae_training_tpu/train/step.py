@@ -61,6 +61,21 @@ def split_z(z: jax.Array, latent_dim: int) -> Tuple[jax.Array, jax.Array]:
     return z[..., :latent_dim], z[..., latent_dim:]
 
 
+def make_elbo_grad_fn(model: VAE):
+    """value_and_grad of the scalar ELBO loss — the ONE loss closure shared
+    by the epoch path and the dp/gspmd parallel backends (make_step_fns
+    keeps its own has_aux variant for the stat channels). A loss change
+    made here reaches every backend."""
+
+    def loss_fn(params, batch, z1, z2):
+        x_hat, mu, logvar_e, epsilon = model.apply(
+            {"params": params}, batch, z1, z2)
+        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss
+
+    return jax.value_and_grad(loss_fn)
+
+
 def make_step_fns(
     model: VAE,
     dataset: DistributionDataset,
@@ -186,12 +201,7 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
     flat_images = dataset.images.reshape(dataset.images.shape[0], -1)
     n_total = flat_images.shape[0]
 
-    def loss_fn(params, batch, z1, z2):
-        x_hat, mu, logvar_e, epsilon = model.apply({"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
-        return loss
-
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = make_elbo_grad_fn(model)
 
     if mesh is not None:
         ndev = mesh.shape["dp"]
