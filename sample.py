@@ -19,6 +19,16 @@ import sys
 
 import numpy as np
 
+# Honor JAX_PLATFORMS=cpu before any backend initialization (the axon TPU
+# sitecustomize otherwise overrides the env var — see run.py / CLAUDE.md).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 
 def load_run(run_dir: str):
     from vae_training_tpu.config import RunConfig

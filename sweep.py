@@ -15,8 +15,19 @@ sweep costs a handful of kernel compiles instead of 21× cold starts.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# Honor JAX_PLATFORMS=cpu before any backend initialization (the axon TPU
+# sitecustomize otherwise overrides the env var — see run.py / CLAUDE.md).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 from vae_training_tpu.config import RunConfig
 
@@ -132,8 +143,21 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
             try:
                 proc.wait(timeout=30)
             except subprocess.TimeoutExpired:
+                # Last resort for a SIGTERM-deaf process. SIGKILLing a live
+                # TPU client wedges the device grant for ~5 min (CLAUDE.md),
+                # so an immediate retry would hang and burn the remaining
+                # attempts — cool down until the grant is releasable.
                 proc.kill()
                 proc.wait()
+                if attempt < retries:
+                    cooldown = float(
+                        os.environ.get("VAE_TPU_KILL_COOLDOWN", "300"))
+                    print(f"[sweep] {cfg.name}: SIGKILLed a wedged run; "
+                          f"cooling down {cooldown:.0f}s before the retry "
+                          f"(device grant release)", flush=True)
+                    import time as _time
+
+                    _time.sleep(cooldown)
     return False
 
 

@@ -187,3 +187,25 @@ def test_sampler_golden_values():
         got = np.asarray(ds.sample(key, 2))
         np.testing.assert_allclose(got, np.asarray(expected), atol=2e-6,
                                    err_msg=name)
+
+def test_precision_flag_reaches_dataset_sampling_dots():
+    """--precision fp32 threads into the manifold dots of the samplers
+    (matching the fused kernels' fp32_dots), and on CPU — where both modes
+    are exact fp32 — changes nothing."""
+    import jax
+
+    from vae_training_tpu.config import RunConfig
+    from vae_training_tpu.data import get_dataset
+
+    base = dict(dataset="linear_gaussian", encoder_layer_sizes="",
+                layer_sizes="", latent_dimension=6, padding_dim=3,
+                dataset_dimension=3, tunable_decoder_var=True)
+    for name in ("linear_gaussian", "sigmoid"):
+        cfg32 = RunConfig(**{**base, "dataset": name, "precision": "fp32"})
+        cfg16 = RunConfig(**{**base, "dataset": name, "precision": "bf16"})
+        ds32 = get_dataset(name, 2, cfg32)
+        ds16 = get_dataset(name, 2, cfg16)
+        assert ds32.fp32_dots and not ds16.fp32_dots
+        key = jax.random.PRNGKey(7)
+        np.testing.assert_array_equal(
+            np.asarray(ds32.sample(key, 16)), np.asarray(ds16.sample(key, 16)))

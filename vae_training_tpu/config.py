@@ -80,7 +80,9 @@ class RunConfig:
     # Checkpoint serialization: flax msgpack (single file, fast) or orbax
     # (ecosystem-standard tensorstore layout). --resume reads either.
     ckpt_backend: str = "msgpack"
-    # Matmul precision on the fused kernels. bf16 (default) is the MXU's
+    # Matmul precision on EVERY backend: fused kernels, the XLA/linen and
+    # conv model paths, and the dataset samplers' manifold dots (so both
+    # backends train on identically-rounded data). bf16 (default) is the MXU's
     # native mode — single-pass bfloat16 operands with f32 accumulation,
     # which is ALSO what XLA:TPU does for f32 dots by default, so both
     # backends agree. fp32 forces Precision.HIGHEST (~3 bf16 passes per

@@ -82,6 +82,8 @@ class ImageDataset(struct.PyTreeNode):
             arr = arr[..., None]
         if arr.max() > 1.5:  # 0..255 → [-1, 1]
             arr = arr / 127.5 - 1.0
+        elif arr.min() >= 0.0:  # [0, 1] floats → [-1, 1] (like from_folder)
+            arr = arr * 2.0 - 1.0
         n, h, w, c = arr.shape
         return cls(images=jnp.asarray(arr), h=h, w=w, c=c)
 

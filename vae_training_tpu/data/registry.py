@@ -48,6 +48,7 @@ def _make_linear_gaussian(seed, args) -> LinearGaussianDataset:
         intrinsic_dimension=args.dataset_intrinsic_dimension,
         padding_dimension=args.padding_dim,
         var_added=args.dataset_noise,
+        fp32_dots=getattr(args, "precision", "bf16") == "fp32",
     )
 
 
@@ -57,6 +58,7 @@ def _make_sigmoid(seed, args) -> SigmoidDataset:
         seed,
         dimension=args.dataset_dimension,
         padding_dimension=args.padding_dim,
+        fp32_dots=getattr(args, "precision", "bf16") == "fp32",
     )
 
 

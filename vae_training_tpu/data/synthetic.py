@@ -23,6 +23,14 @@ from flax import struct
 from .base import DistributionDataset, pad_with_zeros, padding_energy
 
 
+def _dot_precision(fp32_dots: bool):
+    """--precision fp32 → Precision.HIGHEST on the manifold dots, so data
+    generation rounds identically on the XLA path and in the fused kernels
+    (which honor fp32_dots on the same dot). None = the TPU's native
+    bf16-operand f32-accumulate mode, the bf16 default everywhere."""
+    return jax.lax.Precision.HIGHEST if fp32_dots else None
+
+
 class SphereDataset(DistributionDataset):
     """Uniform samples on S^{dim-1}, zero-padded to ambient dimension.
 
@@ -129,6 +137,9 @@ class LinearGaussianDataset(DistributionDataset):
     intrinsic_dim: int = struct.field(pytree_node=False, default=3)
     padding_dim: int = struct.field(pytree_node=False, default=0)
     var_added: float = struct.field(pytree_node=False, default=0.0)
+    # --precision fp32: true-fp32 manifold dots, matching the fused
+    # kernels' fp32_dots so both backends generate identically-rounded data
+    fp32_dots: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -138,6 +149,7 @@ class LinearGaussianDataset(DistributionDataset):
         intrinsic_dimension: int = 3,
         padding_dimension: int = 0,
         var_added: float = 0.0,
+        fp32_dots: bool = False,
     ) -> "LinearGaussianDataset":
         key = jax.random.PRNGKey(seed)
         # Resample until full rank — behavioral port of the reference's
@@ -156,6 +168,7 @@ class LinearGaussianDataset(DistributionDataset):
             intrinsic_dim=intrinsic_dimension,
             padding_dim=padding_dimension,
             var_added=var_added,
+            fp32_dots=fp32_dots,
         )
 
     @property
@@ -169,7 +182,7 @@ class LinearGaussianDataset(DistributionDataset):
     def sample(self, key: jax.Array, n: int) -> jax.Array:
         kx, kn = jax.random.split(key)
         x = jax.random.normal(kx, (n, self.intrinsic_dim))
-        y = x @ self.A.T
+        y = jnp.dot(x, self.A.T, precision=_dot_precision(self.fp32_dots))
         y = pad_with_zeros(y, self.padding_dim)
         if self.var_added > 0:
             y = y + jax.random.normal(kn, (n, self.ndim)) * jnp.sqrt(self.var_added)
@@ -194,15 +207,18 @@ class SigmoidDataset(DistributionDataset):
     A: jax.Array  # (dim, 1)
     dim: int = struct.field(pytree_node=False, default=3)
     padding_dim: int = struct.field(pytree_node=False, default=0)
+    fp32_dots: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
-        cls, seed: int, dimension: int = 3, padding_dimension: int = 0
+        cls, seed: int, dimension: int = 3, padding_dimension: int = 0,
+        fp32_dots: bool = False,
     ) -> "SigmoidDataset":
         key = jax.random.PRNGKey(seed)
         _, mat_key = jax.random.split(key)
         mat = jax.random.normal(mat_key, (dimension, 1))
-        return cls(A=mat, dim=dimension, padding_dim=padding_dimension)
+        return cls(A=mat, dim=dimension, padding_dim=padding_dimension,
+                   fp32_dots=fp32_dots)
 
     @property
     def ndim(self) -> int:
@@ -210,7 +226,8 @@ class SigmoidDataset(DistributionDataset):
 
     def sample(self, key: jax.Array, n: int) -> jax.Array:
         z = jax.random.normal(key, (n, self.dim))
-        sig = jax.nn.sigmoid(z @ self.A)
+        sig = jax.nn.sigmoid(
+            jnp.dot(z, self.A, precision=_dot_precision(self.fp32_dots)))
         out = jnp.concatenate([z, sig], axis=1)
         return pad_with_zeros(out, self.padding_dim)
 
@@ -226,7 +243,8 @@ class SigmoidDataset(DistributionDataset):
         #      closed form (no n×n intermediate):
         #      mean(ĉ²) − 2·mean(ĉ)·mean(c) + mean(c²).
         codomain_hat = batch[:, self.dim]
-        codomain = (batch[:, : self.dim] @ self.A)[:, 0]
+        codomain = jnp.dot(batch[:, : self.dim], self.A,
+                           precision=_dot_precision(self.fp32_dots))[:, 0]
         manifold_error = (
             jnp.mean(jnp.square(codomain_hat))
             - 2.0 * jnp.mean(codomain_hat) * jnp.mean(codomain)

@@ -48,13 +48,47 @@ from ..ops.elbo import elbo_terms
 from ..runio.checkpoint import save_checkpoint
 from ..runio.export import save_model_pkl
 from ..runio.outdir import make_output_dir
-from .loop import EVAL_BATCH_SIZE, N_PLOT, N_PRINT
+from .loop import EVAL_BATCH_SIZE, N_PLOT, N_PRINT, next_event
 from .state import TrainState, make_adam
 from .step import sample_z, split_z
 
 
 def stack_pytrees(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def donation_safe_fallback(attempt_fn, fallback_fn, state_argnum: int,
+                           label: str):
+    """Runtime-insurance wrapper shared by the grid and mixed-sweep chunk
+    drivers. ``attempt_fn`` DONATES the state operand (args[state_argnum]),
+    so the first, unproven call keeps a host backup: a failure landing
+    after donation would otherwise poison the retry with deleted buffers.
+    Tri-state: untried → backup + try; proven-good → call straight through
+    and RE-RAISE any later error (a transient mustn't silently switch a
+    mid-run backend); proven-bad → permanently use ``fallback_fn``, which
+    must accept the same arguments. ``label`` may reference ``{err}``."""
+    tried = {"ok": None}
+
+    def wrapped(*args):
+        if tried["ok"] is False:
+            return fallback_fn(*args)
+        backup = (jax.device_get(args[state_argnum])
+                  if tried["ok"] is None else None)
+        try:
+            out = attempt_fn(*args)
+            tried["ok"] = True
+            return out
+        except Exception as e:
+            if tried["ok"]:
+                raise
+            print(label.format(err=type(e).__name__),
+                  file=sys.stderr, flush=True)
+            tried["ok"] = False
+            args = list(args)
+            args[state_argnum] = jax.device_put(backup)
+            return fallback_fn(*args)
+
+    return wrapped
 
 
 class GridTrainer:
@@ -212,30 +246,10 @@ class GridTrainer:
                 # DONATES state_grid, so the untried first attempt keeps a
                 # host backup to re-materialize from if the failure lands
                 # after donation (deleted buffers would poison the retry).
-                vmapped = train_chunk
-                tried = {"ok": None}
-
-                def chunk_with_fallback(dataset_grid, state_grid, n_steps):
-                    if tried["ok"] is False:
-                        return vmapped(dataset_grid, state_grid, n_steps)
-                    backup = None
-                    if tried["ok"] is None:
-                        backup = jax.device_get(state_grid)
-                    try:
-                        out = fused(dataset_grid, state_grid, n_steps)
-                        tried["ok"] = True
-                        return out
-                    except Exception as e:
-                        if tried["ok"]:
-                            raise
-                        print(f"[grid] fused kernel unavailable "
-                              f"({type(e).__name__}); using vmapped XLA",
-                              file=sys.stderr, flush=True)
-                        tried["ok"] = False
-                        state_grid = jax.device_put(backup)
-                        return vmapped(dataset_grid, state_grid, n_steps)
-
-                self._train_chunk = chunk_with_fallback
+                self._train_chunk = donation_safe_fallback(
+                    fused, train_chunk, state_argnum=1,
+                    label="[grid] fused kernel unavailable ({err}); "
+                          "using vmapped XLA")
         self._build_eval(model, batch_size, latent_dim, data_dim)
 
     def _wrap_grid_chunk(self, rows_fn, extras=()):
@@ -404,12 +418,7 @@ class GridTrainer:
 
     # ------------------------------------------------------------------
     def _next_event(self, b: int) -> int:
-        total = self.cfg.num_batches
-        nxt = ((b // self.n_print) + 1) * self.n_print
-        nxt = min(nxt, ((b // self.n_plot) + 1) * self.n_plot)
-        if b < total - 1:
-            nxt = min(nxt, total - 1)
-        return min(nxt, total)
+        return next_event(b, self.cfg.num_batches, self.n_print, self.n_plot)
 
     def compute_and_write_stats(self):
         self._host_key, k1 = jax.random.split(self._host_key)
@@ -520,17 +529,26 @@ class GridTrainer:
         eps = jnp.asarray(
             [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
             jnp.float32)
-        model, latent_dim, data_dim = self.model, self.latent_dim, self.data_dim
+        if getattr(self, "_plot_generate", None) is None:
+            # jitted ONCE per trainer (gen_key is an argument, not a
+            # closure) — a fresh jit per plot event would recompile the
+            # vmapped sampler at every plot/save cadence
+            model = self.model
+            latent_dim, data_dim = self.latent_dim, self.data_dim
+            batch = self.eval_batch_size
 
-        def one(state, ep_i, idx):
-            z = sample_z(jax.random.fold_in(gen_key, idx),
-                         self.eval_batch_size, latent_dim, data_dim)
-            z1, z2 = split_z(z, latent_dim)
-            return model.apply({"params": state.params}, z1, z2, ep_i,
-                               method=type(model).generate)
+            def one(state, ep_i, idx, key):
+                z = sample_z(jax.random.fold_in(key, idx),
+                             batch, latent_dim, data_dim)
+                z1, z2 = split_z(z, latent_dim)
+                return model.apply({"params": state.params}, z1, z2, ep_i,
+                                   method=type(model).generate)
 
-        fakes = jax.device_get(jax.jit(jax.vmap(one))(
-            self.state_grid, eps, jnp.arange(len(self.seeds))))
+            self._plot_generate = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, None)))
+
+        fakes = jax.device_get(self._plot_generate(
+            self.state_grid, eps, jnp.arange(len(self.seeds)), gen_key))
         for i, out in enumerate(outdirs):
             fn = os.path.join(out, f"output_{self.batchnum}.png")
             self.datasets[i].plot_batch(fakes[i], fn=fn)

@@ -50,6 +50,20 @@ N_PRINT = 5000
 EVAL_BATCH_SIZE = 1000
 
 
+def next_event(b: int, total: int, n_print: int, n_plot: int) -> int:
+    """First step index > b at which any host event fires.
+
+    THE chunk-boundary formula, shared by the solo/grid/mixed trainers:
+    fused chunks derive their PRNG stream per chunk, so resume
+    bit-exactness requires boundaries to coincide across paths — keep one
+    definition."""
+    nxt = ((b // n_print) + 1) * n_print
+    nxt = min(nxt, ((b // n_plot) + 1) * n_plot)
+    if b < total - 1:
+        nxt = min(nxt, total - 1)
+    return min(nxt, total)
+
+
 class Trainer:
     """Owns model/optimizer/state and drives the chunked training loop."""
 
@@ -415,13 +429,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _next_event(self, b: int) -> int:
-        """First step index > b at which any host event fires."""
-        total = self.cfg.num_batches
-        nxt = ((b // self.n_print) + 1) * self.n_print
-        nxt = min(nxt, ((b // self.n_plot) + 1) * self.n_plot)
-        if b < total - 1:
-            nxt = min(nxt, total - 1)
-        return min(nxt, total)
+        return next_event(b, self.cfg.num_batches, self.n_print, self.n_plot)
 
     def train(self) -> None:
         if self.dataset.is_epochs:

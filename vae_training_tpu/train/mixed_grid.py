@@ -21,7 +21,6 @@ are identical tiles regardless of row dims, so concatenation is free.
 
 from __future__ import annotations
 
-import sys
 from functools import partial
 from typing import List, Sequence, Tuple
 
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RunConfig
-from .grid import GridTrainer
+from .grid import GridTrainer, donation_safe_fallback
 
 
 class MixedSweepUnavailable(ValueError):
@@ -150,31 +149,14 @@ class MixedGridSweep:
         # backup and falls back to the per-group chunks (which carry their
         # own pallas→XLA fallback) instead of killing the sweep with
         # donated buffers.
-        self._train_chunk = self._with_fallback(self._train_chunk)
-
-    def _with_fallback(self, mixed_chunk):
         groups = self.groups
-        tried = {"ok": None}
-
-        def chunk(state_grids, n_steps: int):
-            if tried["ok"] is False:
-                return per_group_chunk(groups, state_grids, n_steps)
-            backup = jax.device_get(state_grids) if tried["ok"] is None else None
-            try:
-                out = mixed_chunk(state_grids, n_steps)
-                tried["ok"] = True
-                return out
-            except Exception as e:
-                if tried["ok"]:
-                    raise
-                print(f"[mixed] one-launch kernel unavailable "
-                      f"({type(e).__name__}); per-row launches",
-                      file=sys.stderr, flush=True)
-                tried["ok"] = False
-                state_grids = jax.device_put(backup)
-                return per_group_chunk(groups, state_grids, n_steps)
-
-        return chunk
+        self._train_chunk = donation_safe_fallback(
+            self._train_chunk,
+            lambda state_grids, n_steps: per_group_chunk(
+                groups, state_grids, n_steps),
+            state_argnum=0,
+            label="[mixed] one-launch kernel unavailable ({err}); "
+                  "per-row launches")
 
     def _shard_rows(self, run_rows):
         """Wrap a (seeds, a_t, buffers) → (new_buffers, losses) row-kernel
