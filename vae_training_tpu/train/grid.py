@@ -114,6 +114,12 @@ class GridTrainer:
                 "--seed_grid starts fresh or resumes from its own row "
                 "checkpoints (--resume); --state_dict applies to solo runs"
             )
+        if getattr(cfg, "track_correlation", False):
+            raise NotImplementedError(
+                "--track_correlation is a solo-run diagnostic (per-parameter "
+                "ratios against a converged target); run the row without "
+                "--seed_grid to record it"
+            )
         # cfg.resume for grid runs means "resume every row from its own
         # output dir" — run_seed_grid calls restore(outdirs) after building
         # the per-seed directories.
