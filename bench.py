@@ -51,6 +51,14 @@ CONFIGS = {
 }
 
 
+# Row-1 dataset seeds exactly as the scripts pass them: the linear script's
+# first run uses -ds 2 (seed_linpadding_expts.sh), the sigmoid/sphere
+# scripts' first runs pass no -ds (reference default 69, run.py:26) — so
+# the bench's data manifolds (and its loss diagnostics) match reference
+# runs of the same row.
+CONFIG_SEEDS = {"linear": 2, "sigmoid": 69, "sphere": 69}
+
+
 def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16"):
     from vae_training_tpu.config import RunConfig
 
@@ -59,7 +67,7 @@ def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16"):
         num_batches=100_000,
         batch_size=100,
         tunable_decoder_var=True,
-        dataset_seed=2,
+        dataset_seed=CONFIG_SEEDS[config],
         tqdm=False,
         kernels=kernels,
         precision=precision,
@@ -195,16 +203,19 @@ def measure(trainer, chunk_steps: int = 20_000, reps: int = 5) -> float:
 
 
 def latency_mode(trainer, reps: int = 200):
-    """Per-step dispatch latency: single-step chunks with block_until_ready
-    (SURVEY §5's 'per-step timing mode'). Percentiles to stderr."""
+    """Per-step dispatch latency: single-step chunks, completion forced by
+    fetching the loss scalar through the data chain (SURVEY §5's 'per-step
+    timing mode'). block_until_ready is deliberately not used — it can
+    return before the kernel retires on remote-tunnel runtimes (see
+    measure()). Percentiles to stderr."""
     state = trainer.state
     state, l = trainer.fns.train_chunk(state, 1)
-    jax.block_until_ready(l)
+    float(l[-1])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         state, l = trainer.fns.train_chunk(state, 1)
-        jax.block_until_ready(l)
+        float(l[-1])
         times.append(time.perf_counter() - t0)
     trainer.state = state
     import numpy as np
@@ -267,13 +278,20 @@ def main() -> int:
         else:
             log("--latency applies to the linear/sigmoid/sphere configs "
                 "only; skipped")
+    # The ≥20k steps/sec/chip target (BASELINE.json) is defined on the
+    # linear workload; grid is that same workload aggregated across the 21
+    # sweep rows, so the ratio stays meaningful. sigmoid/sphere/conv have
+    # no published target — emit null rather than a ratio against an
+    # unrelated workload's number.
+    vs = (round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3)
+          if args.config in ("linear", "grid") else None)
     print(
         json.dumps(
             {
                 "metric": METRIC_NAMES[args.config],
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+                "vs_baseline": vs,
             }
         )
     )

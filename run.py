@@ -48,11 +48,17 @@ def main(cfg: RunConfig) -> int:
 
         seeds = [int(s) for s in cfg.seed_grid.split(",") if s.strip()]
         return run_seed_grid(cfg, seeds)
+    # Resuming IN PLACE (e.g. a supervised retry after preemption — the
+    # resume path IS this run's own output dir) must reuse the existing
+    # directory without clobber protection. Resuming FROM a different
+    # run's checkpoint into a fresh name keeps the reference's
+    # refuse-to-clobber guarantee: an existing <name> still requires -ow.
+    own_dir = os.path.join(cfg.data_dir or "data", cfg.name)
+    resume_in_place = bool(cfg.resume) and (
+        os.path.abspath(cfg.resume) == os.path.abspath(own_dir))
     output_dir = make_output_dir(
         cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir,
-        # resuming in place (e.g. a supervised retry after preemption) must
-        # reuse the existing run directory without clobber protection
-        reuse_existing=bool(cfg.resume),
+        reuse_existing=resume_in_place,
     )
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
     if cfg.data_fn:

@@ -82,10 +82,12 @@ def test_model_pkl_layout_and_roundtrip(tmp_outdir):
 
     with open(path, "rb") as f:
         sd = pickle.load(f)
-    # Reference optimizer-state-dict layout (/root/reference/model.py:85-89)
+    # Reference optimizer-state-dict layout (/root/reference/model.py:85-89);
+    # target is the RAW param tree — pre-Linen flax.nn.Model serializes
+    # without a "params" wrapper (the reference indexes
+    # initial_params['Decoder'] directly, vae.py:87-105)
     assert set(sd) == {"target", "state"}
-    assert "params" in sd["target"]
-    assert set(sd["target"]["params"]) >= {"Encoder", "Decoder", "epsilon_p"}
+    assert set(sd["target"]) >= {"Encoder", "Decoder", "epsilon_p"}
     assert sd["state"]["step"] == 50
     ps = sd["state"]["param_states"]
     any_leaf = ps["Encoder"]["FC0"]["kernel"]
@@ -319,3 +321,21 @@ def test_async_save_failure_surfaces(tmp_outdir):
     ck.wait_for_pending_saves()
     restored = restore_checkpoint(out, jax.device_get(trainer.state))
     assert int(restored.step) == 3
+
+def test_load_model_pkl_accepts_legacy_wrapped_target(tmp_outdir):
+    """Pre-round-2 exports wrapped target in {"params": ...}; load still
+    accepts them alongside the reference's raw-tree layout."""
+    trainer, out, _ = build(tmp_outdir, "pklw")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 5)
+    path = os.path.join(out, "model.pkl")
+    save_model_pkl(path, jax.device_get(trainer.state.params),
+                   jax.device_get(trainer.state.opt_state))
+    with open(path, "rb") as f:
+        sd = pickle.load(f)
+    sd["target"] = {"params": sd["target"]}
+    with open(path, "wb") as f:
+        pickle.dump(sd, f)
+    fresh, _, _ = build(tmp_outdir, "pklw2")
+    params, _ = load_model_pkl(path, fresh.state.params,
+                               fresh.state.opt_state)
+    assert tree_equal(params, trainer.state.params)

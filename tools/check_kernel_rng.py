@@ -83,10 +83,15 @@ def main() -> int:
     ok = chi2 < 99 + 5 * np.sqrt(2 * 99)
     print(f"chi2(99 dof)={chi2:.1f}  -> {'PASS' if ok else 'FAIL'}")
 
-    # independence between the paired cos/sin outputs: correlation ~ 0
-    a = draw(777, 2)
-    pair_corr = np.corrcoef(a[: N * N], a[N * N:])[0, 1]
-    print(f"cos/sin partner correlation={pair_corr:+.5f}")
+    # independence between the paired cos/sin outputs: correlation ~ 0.
+    # Use a FULL draw (64 pairs, ~1M paired samples, sigma ~ 1e-3) so the
+    # 0.01 bound sits at ~10 sigma — a single 16k pair (sigma 0.008) would
+    # spuriously FAIL a healthy RNG ~1 time in 5.
+    a = draw(777).reshape(-1, N * N)
+    cos_part, sin_part = a[0::2].reshape(-1), a[1::2].reshape(-1)
+    pair_corr = np.corrcoef(cos_part, sin_part)[0, 1]
+    print(f"cos/sin partner correlation={pair_corr:+.5f} "
+          f"(n={cos_part.size} pairs)")
     ok = ok and abs(mean) < 5e-3 and abs(std - 1) < 5e-3 and abs(pair_corr) < 0.01
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

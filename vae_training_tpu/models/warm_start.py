@@ -39,7 +39,6 @@ def warm_start_sigmoid(params: dict, dataset, latent_dim: int, key: jax.Array) -
     blocked_eye = eye.at[cut:, cut:].set(0.0)
 
     k_dec, k_sig, k_epsp, k_enc = jax.random.split(key, 4)
-    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
 
     dec = blocked_eye + 0.1 * jax.random.normal(k_dec, (latent_dim, data_dim))
     sig_dec = 0.1 * jax.random.normal(k_sig, (latent_dim, data_dim))

@@ -3,14 +3,18 @@
 The reference persists ``flax.serialization.to_state_dict(optimizer)`` via
 pickle (/root/reference/model.py:85-89), i.e. a nested dict:
 
-    {"target": {"params": <param tree>},
+    {"target": <param tree: {"Decoder": ..., "Encoder": ..., "epsilon_p"...}>,
      "state": {"step": int,
                "param_states": <per-param {"grad_ema", "grad_sq_ema"}>}}
 
-(pre-Linen ``flax.optim.Adam`` layout). We emit the same layout from optax's
-Adam state so downstream analysis written against reference artifacts keeps
-working, and can load it back (making the reference's dead ``--state_dict``
-flag real — SURVEY.md §3.5).
+``target`` is the RAW param tree — pre-Linen ``flax.nn.Model`` serializes
+as its params with no "params" wrapper (the reference indexes
+``initial_params['Decoder']`` directly, /root/reference/vae.py:87-105). We
+emit the same layout from optax's Adam state so downstream analysis
+written against reference artifacts keeps working, and can load it back
+(making the reference's dead ``--state_dict`` flag real — SURVEY.md §3.5).
+``load_model_pkl`` also accepts this repo's pre-round-2 exports, which
+wrapped ``target`` in a ``{"params": ...}`` level.
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ def to_reference_state_dict(params, opt_state) -> dict:
     param_states = jax.tree_util.tree_map(
         lambda m, v: {"grad_ema": np.asarray(m), "grad_sq_ema": np.asarray(v)}, mu, nu
     )
-    target = serialization.to_state_dict({"params": params})
+    target = serialization.to_state_dict(params)
     target = jax.tree_util.tree_map(np.asarray, target)
     return {
         "target": target,
@@ -73,9 +77,11 @@ def load_model_pkl(path: str, params_template, opt_state_template):
     """
     with open(path, "rb") as f:
         sd = pickle.load(f)
-    params = serialization.from_state_dict(
-        {"params": params_template}, sd["target"]
-    )["params"]
+    target_sd = sd["target"]
+    if isinstance(target_sd, dict) and set(target_sd) == {"params"}:
+        # this repo's pre-round-2 exports wrapped the tree one level deep
+        target_sd = target_sd["params"]
+    params = serialization.from_state_dict(params_template, target_sd)
     mu_t, nu_t = _adam_moments(opt_state_template)
     flat_ps = sd["state"]["param_states"]
     mu = serialization.from_state_dict(

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 
 
 def get_output_dir(name: str, data_dir: str = "data") -> str:
@@ -39,6 +40,23 @@ def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data",
         os.makedirs(dirname)
     args_name = os.path.join(dirname, "args.json")
     payload = cfg.to_json_dict() if hasattr(cfg, "to_json_dict") else dict(vars(cfg))
-    with open(args_name, "w") as f:
+    if reuse_existing and os.path.exists(args_name):
+        # surface silently-changed flags on an in-place resume — the
+        # manifest records what produced the surviving artifacts
+        try:
+            with open(args_name) as f:
+                prev = json.load(f)
+            changed = sorted(k for k in payload
+                             if k in prev and prev[k] != payload[k])
+            if changed:
+                print(f"[outdir] resume overrides recorded flags: "
+                      f"{', '.join(changed)}", file=sys.stderr, flush=True)
+        except (OSError, ValueError):
+            pass
+    # atomic: a preemption mid-write must not leave corrupt JSON (sample.py
+    # rebuilds the model from this manifest)
+    tmp = args_name + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(payload, f)
+    os.replace(tmp, args_name)
     return dirname
