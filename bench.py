@@ -103,7 +103,7 @@ def build_conv():
     return Trainer(cfg, dataset, output_dir="."), dataset
 
 
-def measure_conv(trainer, dataset, reps: int = 30) -> float:
+def measure_conv(trainer, dataset, reps: int = 90) -> float:
     """Minibatch steps/sec of the compiled epoch program (one epoch = one
     device program; completion forced through the state chain)."""
     n_batches = dataset.n // trainer.cfg.batch_size
@@ -162,7 +162,7 @@ class _PerGroupSweep:
         return per_group_chunk(self.groups, state_grids, n_steps)
 
 
-def measure_grid(sweep, chunk_steps: int = 20_000, reps: int = 3) -> float:
+def measure_grid(sweep, chunk_steps: int = 20_000, reps: int = 6) -> float:
     """Aggregate steps/sec across all rows of the one-launch sweep
     (completion forced through the state chain — see measure())."""
     grids = tuple(g.state_grid for g in sweep.groups)
@@ -180,7 +180,7 @@ def measure_grid(sweep, chunk_steps: int = 20_000, reps: int = 3) -> float:
     return (sweep.n_rows * chunk_steps * reps) / dt
 
 
-def measure(trainer, chunk_steps: int = 20_000, reps: int = 5) -> float:
+def measure(trainer, chunk_steps: int = 20_000, reps: int = 30) -> float:
     """Time ``reps`` pre-compiled chunks, forcing completion by fetching one
     scalar THROUGH the donated-state dependency chain. block_until_ready is
     deliberately not used: on remote-tunnel TPU runtimes (axon) it can
