@@ -223,6 +223,48 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
     return 0
 
 
+# Primary convergence channel per family; threshold matches the published
+# plots' collapse criterion (padding energy -> 0).
+REPORT_CHANNELS = {
+    "linear": "Squared Norm of padding dimensions",
+    "sigmoid": "Squared Norm of Padding Dimensions",
+    "sphere": "Padding Error",
+}
+
+
+def run_report(sweep: str, data_dir: str, threshold: float = 0.01) -> int:
+    """Summarize a finished sweep from its artifacts (host-only, no TPU):
+    per-row final smoothed loss + padding channel + converged?, and a
+    family total. This is the table PARITY.md's full-sweep reproduction
+    section is built from. Returns 1 if any row's artifacts are missing."""
+    import numpy as np
+
+    channel = REPORT_CHANNELS[sweep]
+    rows, missing, converged = [], [], 0
+    for cfg in sweep_configs(sweep, data_dir, None, "auto"):
+        path = os.path.join(data_dir, cfg.name, "losses.npz")
+        if not os.path.exists(path):
+            missing.append(cfg.name)
+            continue
+        z = np.load(path, allow_pickle=True)
+        loss = np.asarray(z["VAE Loss"], np.float64)
+        pad = np.asarray(z[channel], np.float64).reshape(-1)
+        final_loss = float(loss[-min(100, loss.size):].mean())
+        final_pad = float(pad[-1]) if pad.size else float("nan")
+        ok = final_pad < threshold
+        converged += bool(ok)
+        rows.append((cfg.name, final_loss, final_pad, ok))
+    name_w = max((len(r[0]) for r in rows), default=4)
+    print(f"{'run':<{name_w}}  {'final loss':>12}  {'padding':>12}  conv")
+    for name, fl, fp, ok in rows:
+        print(f"{name:<{name_w}}  {fl:>12.4f}  {fp:>12.6f}  "
+              f"{'yes' if ok else 'NO'}")
+    print(f"[report] {sweep}: {converged}/{len(rows)} rows converged "
+          f"({channel} < {threshold})"
+          + (f"; MISSING: {missing}" if missing else ""), flush=True)
+    return 1 if missing else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sweep", choices=["linear", "sigmoid", "sphere"])
@@ -252,7 +294,14 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="Off-cadence async checkpoints (useful with "
                         "--isolate so retries resume mid-run).")
+    p.add_argument("--report", action="store_true",
+                   help="Summarize a FINISHED sweep from its artifacts "
+                        "(per-row final loss + padding channel + "
+                        "converged?); host-only, touches no device.")
     args = p.parse_args(argv)
+
+    if args.report:
+        return run_report(args.sweep, args.data_dir)
 
     if args.grouped:
         if args.isolate:

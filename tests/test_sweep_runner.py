@@ -109,3 +109,19 @@ def test_eligibility_error_falls_back_per_row(tmp_path, monkeypatch):
     for seed in (2, 3, 4):
         out = os.path.join(str(tmp_path), f"vae3linear_gaussian_12dim{seed}")
         assert os.path.exists(os.path.join(out, "losses.npz")), out
+
+def test_report_summarizes_artifacts(tmp_path, monkeypatch, capsys):
+    """--report reads a finished sweep's artifacts and prints the per-row
+    convergence table PARITY's reproduction section is built from."""
+    monkeypatch.setattr(sweep_mod, "LINEAR_GRID", [(3, 9, 20)])
+    assert sweep_mod.run_grouped("linear", str(tmp_path), 60, "xla") == 0
+    assert sweep_mod.run_report("linear", str(tmp_path)) == 0
+    out = capsys.readouterr().out
+    for seed in (2, 3, 4):
+        assert f"vae3linear_gaussian_12dim{seed}" in out
+    assert "/3 rows converged" in out
+    # a missing row is reported and flips the exit code
+    import shutil
+    shutil.rmtree(os.path.join(str(tmp_path), "vae3linear_gaussian_12dim3"))
+    assert sweep_mod.run_report("linear", str(tmp_path)) == 1
+    assert "MISSING" in capsys.readouterr().out
