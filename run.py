@@ -17,14 +17,11 @@ import os
 import sys
 
 # Honor JAX_PLATFORMS=cpu before any backend initialization (TPU shims in
-# sitecustomize otherwise override the env var).
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax as _jax
+# sitecustomize otherwise override the env var). _platform imports only
+# os+jax; the package __init__ is docstring-only, so no backend inits yet.
+from vae_training_tpu._platform import honor_platform_env
 
-    try:
-        _jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+honor_platform_env()
 
 from vae_training_tpu.config import RunConfig, parse_arguments
 from vae_training_tpu.data import get_dataset
@@ -54,8 +51,18 @@ def main(cfg: RunConfig) -> int:
     # run's checkpoint into a fresh name keeps the reference's
     # refuse-to-clobber guarantee: an existing <name> still requires -ow.
     own_dir = os.path.join(cfg.data_dir or "data", cfg.name)
+    # realpath (not abspath): a symlinked data dir must still classify
+    # --resume <same run via the other path> as in-place — a false
+    # "foreign" here plus -ow would wipe the very checkpoint being resumed
     resume_in_place = bool(cfg.resume) and (
-        os.path.abspath(cfg.resume) == os.path.abspath(own_dir))
+        os.path.realpath(cfg.resume) == os.path.realpath(own_dir))
+    if (cfg.resume and not resume_in_place and cfg.overwrite
+            and (os.path.realpath(cfg.resume) + os.sep).startswith(
+                os.path.realpath(own_dir) + os.sep)):
+        raise ValueError(
+            f"--resume {cfg.resume} lies inside the output dir {own_dir} "
+            f"that -ow would wipe; resume in place (--resume {own_dir}) "
+            f"or pick a different run name")
     output_dir = make_output_dir(
         cfg.name, cfg.overwrite, cfg, data_dir=cfg.data_dir,
         reuse_existing=resume_in_place,

@@ -20,14 +20,10 @@ import sys
 import numpy as np
 
 # Honor JAX_PLATFORMS=cpu before any backend initialization (the axon TPU
-# sitecustomize otherwise overrides the env var — see run.py / CLAUDE.md).
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax as _jax
+# sitecustomize otherwise overrides the env var — see CLAUDE.md).
+from vae_training_tpu._platform import honor_platform_env
 
-    try:
-        _jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+honor_platform_env()
 
 
 def load_run(run_dir: str):

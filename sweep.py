@@ -20,14 +20,10 @@ import sys
 import time
 
 # Honor JAX_PLATFORMS=cpu before any backend initialization (the axon TPU
-# sitecustomize otherwise overrides the env var — see run.py / CLAUDE.md).
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax as _jax
+# sitecustomize otherwise overrides the env var — see CLAUDE.md).
+from vae_training_tpu._platform import honor_platform_env
 
-    try:
-        _jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+honor_platform_env()
 
 from vae_training_tpu.config import RunConfig
 
@@ -155,9 +151,7 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
                     print(f"[sweep] {cfg.name}: SIGKILLed a wedged run; "
                           f"cooling down {cooldown:.0f}s before the retry "
                           f"(device grant release)", flush=True)
-                    import time as _time
-
-                    _time.sleep(cooldown)
+                    time.sleep(cooldown)
     return False
 
 
@@ -243,13 +237,17 @@ def run_report(sweep: str, data_dir: str, threshold: float = 0.01) -> int:
     rows, missing, converged = [], [], 0
     for cfg in sweep_configs(sweep, data_dir, None, "auto"):
         path = os.path.join(data_dir, cfg.name, "losses.npz")
-        if not os.path.exists(path):
-            missing.append(cfg.name)
+        try:
+            # a preempted row can leave a truncated npz (np.savez is not
+            # atomic) — report it under MISSING, don't abort the table
+            z = np.load(path, allow_pickle=True)
+            loss = np.asarray(z["VAE Loss"], np.float64)
+            pad = np.asarray(z[channel], np.float64).reshape(-1)
+        except Exception as e:
+            missing.append(f"{cfg.name} ({type(e).__name__})")
             continue
-        z = np.load(path, allow_pickle=True)
-        loss = np.asarray(z["VAE Loss"], np.float64)
-        pad = np.asarray(z[channel], np.float64).reshape(-1)
-        final_loss = float(loss[-min(100, loss.size):].mean())
+        final_loss = (float(loss[-min(100, loss.size):].mean())
+                      if loss.size else float("nan"))
         final_pad = float(pad[-1]) if pad.size else float("nan")
         ok = final_pad < threshold
         converged += bool(ok)

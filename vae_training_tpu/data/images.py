@@ -80,10 +80,21 @@ class ImageDataset(struct.PyTreeNode):
         arr = np.load(path)[key].astype(np.float32)
         if arr.ndim == 3:
             arr = arr[..., None]
+        # Range heuristic (announced on stderr — it can't be inferred with
+        # certainty): >1.5 ⇒ 0..255; all-nonnegative ⇒ [0,1] like
+        # from_folder; any negative values ⇒ already [-1,1], unchanged.
+        import sys
+
         if arr.max() > 1.5:  # 0..255 → [-1, 1]
             arr = arr / 127.5 - 1.0
+            print(f"[images] {path}: detected 0..255 range, remapped to "
+                  f"[-1, 1] (x/127.5 - 1)", file=sys.stderr, flush=True)
         elif arr.min() >= 0.0:  # [0, 1] floats → [-1, 1] (like from_folder)
             arr = arr * 2.0 - 1.0
+            print(f"[images] {path}: detected [0, 1] range, remapped to "
+                  f"[-1, 1] (x*2 - 1); if the corpus was ALREADY [-1, 1] "
+                  f"with no negative pixels, pre-shift it or include one "
+                  f"negative value", file=sys.stderr, flush=True)
         n, h, w, c = arr.shape
         return cls(images=jnp.asarray(arr), h=h, w=w, c=c)
 

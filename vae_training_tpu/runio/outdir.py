@@ -46,8 +46,14 @@ def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data",
         try:
             with open(args_name) as f:
                 prev = json.load(f)
+            # per-invocation keys always differ across a retry (a resume
+            # strips -ow and sets --resume) — comparing them would make
+            # the warning fire on EVERY legitimate retry and bury the
+            # real signal (a silently changed lr/num_batches)
+            invocation_keys = {"resume", "overwrite"}
             changed = sorted(k for k in payload
-                             if k in prev and prev[k] != payload[k])
+                             if k not in invocation_keys
+                             and k in prev and prev[k] != payload[k])
             if changed:
                 print(f"[outdir] resume overrides recorded flags: "
                       f"{', '.join(changed)}", file=sys.stderr, flush=True)
