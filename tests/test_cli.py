@@ -117,3 +117,36 @@ def test_kernels_package_import_is_lazy():
     )
     assert out.returncode == 0, out.stderr
     assert "LAZYOK" in out.stdout
+
+def test_resume_clobber_guards(tmp_outdir):
+    """--resume only bypasses clobber protection when resuming IN PLACE;
+    a foreign resume into an existing name needs -ow, and -ow is refused
+    when it would wipe the resume source itself."""
+    from run import main
+
+    def argv(name, *extra):
+        return parse_arguments([
+            name, "--dataset", "linear_gaussian", "--num_batches", "40",
+            "--batch_size", "20", "--padding_dim", "2", "-dd", "3",
+            "--encoder_layer_sizes", "", "--layer_sizes", "",
+            "--data_dir", tmp_outdir, *extra,
+        ])
+
+    assert main(argv("src", "-ow")) == 0
+    src = os.path.join(tmp_outdir, "src")
+    assert main(argv("dst", "-ow")) == 0
+
+    # foreign resume into the existing dst without -ow → clobber error
+    with pytest.raises(ValueError, match="already exists"):
+        main(argv("dst", "--resume", src))
+    # in-place resume (same dir, even without -ow) is allowed
+    assert main(argv("src", "--resume", src, "--num_batches", "60")) == 0
+    # in-place through a symlinked data path still counts as in-place
+    link = tmp_outdir + "_link"
+    if not os.path.exists(link):
+        os.symlink(tmp_outdir, link)
+    assert main(argv("src", "--resume", os.path.join(link, "src"),
+                     "--num_batches", "80")) == 0
+    # -ow that would wipe the resume source (a subpath) is refused
+    with pytest.raises(ValueError, match="lies inside"):
+        main(argv("src", "-ow", "--resume", os.path.join(src, "sub")))
