@@ -123,6 +123,11 @@ class StatsRecorder:
             payload["Correlation Ratio"] = np.asarray(self.correlation_ratios)
             for path, vals in self.correlation_ratios_per_param.items():
                 payload[f"Correlation Ratio/{path}"] = np.asarray(vals)
-        fn = os.path.join(dirname, "losses")
-        np.savez(fn, **payload)
-        return fn + ".npz"
+        # atomic: losses.npz is the run's primary artifact and is rewritten
+        # at every plot cadence — a preemption mid-write must leave the
+        # previous complete version, not a truncated zip
+        fn = os.path.join(dirname, "losses.npz")
+        tmp = os.path.join(dirname, f"losses.tmp.{os.getpid()}.npz")
+        np.savez(tmp, **payload)
+        os.replace(tmp, fn)
+        return fn
