@@ -1,0 +1,59 @@
+"""Shared helpers for the kernel math-equivalence suites.
+
+One definition of the XLA/optax reference step, the noise-tile embedding,
+and the labeled tree comparison — test_pallas_kernel.py, test_mlp_kernel.py,
+and test_kernel_shapes_property.py alias these (the grid-equivalence suite
+imports them through those modules), so a change to the reference step or
+the kernel padding layout lands everywhere at once.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def pad_noise(x, z1, z2, n_steps, *, batch, lane):
+    """Embed (n_steps, batch, d) noise into the kernels' (rows, lane)
+    zero-padded blocks, rows = the batch's 8-aligned row tile."""
+    from vae_training_tpu.kernels.linear_vae import row_tile
+
+    rows = row_tile(batch)
+
+    def emb(a):
+        out = np.zeros((n_steps, rows, lane), np.float32)
+        out[:, : a.shape[1], : a.shape[2]] = a
+        return jnp.asarray(out)
+
+    return emb(x), emb(z1), emb(z2)
+
+
+def run_xla_steps(model, tx, state, xs, z1s, z2s):
+    """The jax.grad+optax reference trajectory the kernels are pinned to."""
+    from vae_training_tpu.ops import elbo_terms
+
+    def loss_fn(params, batch, z1, z2):
+        x_hat, mu, logvar_e, epsilon = model.apply(
+            {"params": params}, batch, z1, z2)
+        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        return loss
+
+    params, opt_state = state.params, state.opt_state
+    losses = []
+    for i in range(xs.shape[0]):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xs[i], z1s[i], z2s[i])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return params, opt_state, np.array(losses)
+
+
+def assert_trees_close(a, b, rtol, atol):
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(b)}
+    for path, val in jax.tree_util.tree_leaves_with_path(a):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_b[key]),
+            rtol=rtol, atol=atol, err_msg=key,
+        )

@@ -339,3 +339,33 @@ def test_load_model_pkl_accepts_legacy_wrapped_target(tmp_outdir):
     params, _ = load_model_pkl(path, fresh.state.params,
                                fresh.state.opt_state)
     assert tree_equal(params, trainer.state.params)
+
+def test_stale_async_save_after_newer_sync_save(tmp_outdir):
+    """The REAL preemption ordering: a queued --checkpoint_every async save
+    whose background write lands AFTER a newer sync save must not clobber
+    it. Previous tests serialized every async save with .result(), so the
+    step-ordering guard was never exercised with a genuinely pending
+    write; here a blocker task holds the single writer thread until the
+    newer sync checkpoint is already on disk."""
+    import threading
+
+    from vae_training_tpu.runio import checkpoint as ck
+
+    trainer, out, _ = build(tmp_outdir, "race")
+    old_state = jax.device_get(trainer.state)  # step 0 snapshot
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 25)
+
+    gate = threading.Event()
+    blocker = ck._executor().submit(gate.wait)  # parks the writer thread
+    stale = ck.save_checkpoint_async(out, old_state)  # queued behind it
+    save_checkpoint(out, trainer.state)  # newer sync save lands NOW
+    gate.set()
+    blocker.result()
+    stale.result()  # the stale write runs after — guard must drop it
+    ck.wait_for_pending_saves()
+
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 25
+    import json
+    meta = json.load(open(os.path.join(out, "ckpt_meta.json")))
+    assert meta["step"] == 25

@@ -50,7 +50,8 @@ def test_linear_gaussian_manifold_and_score():
     ds = LinearGaussianDataset.create(2, dimension=6, intrinsic_dimension=3,
                                       padding_dimension=5)
     assert ds.A.shape == (6, 3)
-    assert int(jnp.linalg.matrix_rank(ds.A)) == 3
+    # host numpy: SVD-family ops hang nondeterministically on TPU
+    assert int(np.linalg.matrix_rank(np.asarray(ds.A))) == 3
     assert ds.ndim == 11
     batch = ds.sample(KEY, 2048)
     assert batch.shape == (2048, 11)

@@ -51,22 +51,16 @@ def test_linear_kernel_equivalence_random_shapes(batch, dim, intrinsic,
     z1s = rng.randn(n_steps, batch, latent).astype(np.float32)
     z2s = rng.randn(n_steps, batch, D).astype(np.float32)
 
-    from vae_training_tpu.kernels.linear_vae import row_tile
+    from kernel_test_helpers import pad_noise
 
-    rows = row_tile(batch)
-
-    def emb(a):
-        out = np.zeros((n_steps, rows, N), np.float32)
-        out[:, : a.shape[1], : a.shape[2]] = a
-        return jnp.asarray(out)
-
+    noise = pad_noise(xs, z1s, z2s, n_steps, batch=batch, lane=N)
     buffers = pack_state(state, D, latent, True)
     new_buffers, losses = run_fused_chunk(
         n_steps=n_steps, seed_and_t0=jnp.array([5, 0], jnp.int32),
         a_t=jnp.zeros((N, N), jnp.float32), buffers=buffers,
         batch=batch, data_dim=D, latent_dim=latent, intrinsic_dim=intrinsic,
         var_added=0.0, eps_const=-1.0, tdv=True, lr=1e-3,
-        external_noise=(emb(xs), emb(z1s), emb(z2s)), interpret=True,
+        external_noise=noise, interpret=True,
     )
     kstate = unpack_state(state, new_buffers, n_steps, D, latent, True)
 

@@ -64,47 +64,15 @@ def sphere_noise(dataset, n_steps, seed=0):
     return xs, z1s, z2s
 
 
+from kernel_test_helpers import (  # noqa: E402 — shared equivalence helpers
+    assert_trees_close,
+    run_xla_steps,
+)
+from kernel_test_helpers import pad_noise as _pad_noise  # noqa: E402
+
+
 def pad_noise(x, z1, z2, n_steps):
-    from vae_training_tpu.kernels.linear_vae import row_tile
-
-    rows = row_tile(BATCH)  # kernel blocks span the batch's row tile
-
-    def emb(a):
-        out = np.zeros((n_steps, rows, LANE), np.float32)
-        out[:, : a.shape[1], : a.shape[2]] = a
-        return jnp.asarray(out)
-
-    return emb(x), emb(z1), emb(z2)
-
-
-def run_xla_steps(model, tx, state, xs, z1s, z2s):
-    from vae_training_tpu.ops import elbo_terms
-
-    def loss_fn(params, batch, z1, z2):
-        x_hat, mu, logvar_e, epsilon = model.apply(
-            {"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
-        return loss
-
-    params, opt_state = state.params, state.opt_state
-    losses = []
-    for i in range(xs.shape[0]):
-        loss, grads = jax.value_and_grad(loss_fn)(params, xs[i], z1s[i], z2s[i])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        losses.append(float(loss))
-    return params, opt_state, np.array(losses)
-
-
-def assert_trees_close(a, b, rtol, atol):
-    flat_b = {jax.tree_util.keystr(p): v
-              for p, v in jax.tree_util.tree_leaves_with_path(b)}
-    for path, val in jax.tree_util.tree_leaves_with_path(a):
-        key = jax.tree_util.keystr(path)
-        np.testing.assert_allclose(
-            np.asarray(val), np.asarray(flat_b[key]),
-            rtol=rtol, atol=atol, err_msg=key,
-        )
+    return _pad_noise(x, z1, z2, n_steps, batch=BATCH, lane=LANE)
 
 
 @pytest.mark.parametrize("tdv", [True, False])
@@ -139,6 +107,9 @@ def test_mlp_kernel_matches_xla(tdv):
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
     assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
+    # nu (second moments) pinned too — a wrong beta2/missing square must
+    # not hide inside the param tolerance over 4 steps
+    assert_trees_close(ka.nu, xa.nu, rtol=1e-3, atol=1e-9)
 
 
 @pytest.mark.parametrize("tdv", [True, False])
@@ -180,6 +151,7 @@ def test_mlp_dual_decoder_kernel_matches_xla(tdv):
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
     assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
+    assert_trees_close(ka.nu, xa.nu, rtol=1e-3, atol=1e-9)
 
 
 def test_mlp_dual_padded_regions_stay_zero():
@@ -270,9 +242,11 @@ def test_mlp_kernel_fp32_dots_identical_on_cpu():
                                            **kwargs)
     np.testing.assert_array_equal(np.asarray(losses_hi),
                                   np.asarray(losses_def))
-    for li in range(len(pk_def[0])):
-        np.testing.assert_array_equal(np.asarray(pk_hi[0][li]),
-                                      np.asarray(pk_def[0][li]))
+    # EVERY buffer (weights, biases, vec, and all Adam moments) must be
+    # bit-identical — the flag only changes MXU pass structure on TPU
+    for a, b in zip(jax.tree_util.tree_leaves(pk_hi),
+                    jax.tree_util.tree_leaves(pk_def), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 BATCH_SMALL = 6
@@ -319,7 +293,9 @@ def test_linear_kernel_fp32_dots_identical_on_cpu():
         buffers=pack_state(state, dataset.dimension, 5, True),
         fp32_dots=True, **kw)
     np.testing.assert_array_equal(np.asarray(l_hi), np.asarray(l_def))
-    np.testing.assert_array_equal(np.asarray(b_hi[0]), np.asarray(b_def[0]))
+    for a, b in zip(jax.tree_util.tree_leaves(b_hi),
+                    jax.tree_util.tree_leaves(b_def), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_precision_flag_validation():
@@ -356,21 +332,25 @@ def test_linen_model_precision_identical_on_cpu():
     np.testing.assert_array_equal(outs["bf16"][1], outs["fp32"][1])
 
 
-def test_mlp_supported_gating():
+def test_mlp_supported_gating(monkeypatch):
     from types import SimpleNamespace
 
     dataset, model, _, _ = setup()
     cfg = SimpleNamespace(batch_size=100, mesh="")
     ok, why = mlp_pallas_supported(model, dataset, cfg)
-    if jax.default_backend() != "tpu":
-        assert not ok and "TPU" in why
+    assert not ok and "TPU" in why  # conftest forces CPU
+    # The backend check short-circuits on CPU, making the config-logic
+    # assertions vacuous — pretend we're on TPU so the real gates run.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ok, _ = mlp_pallas_supported(model, dataset, cfg)
+    assert ok
     # pure-linear config routed to the linear kernel, not this one
     lin = build_vae(data_dim=dataset.dimension, latent_dim=LATENT)
     ok, why = mlp_pallas_supported(lin, dataset, cfg)
-    assert not ok
+    assert not ok and "linear kernel" in why
     # too-wide hidden layers rejected
     wide = build_vae(data_dim=dataset.dimension, latent_dim=LATENT,
                      encoder_layer_sizes="600|600",
                      decoder_layer_sizes="600|600")
     ok, why = mlp_pallas_supported(wide, dataset, cfg)
-    assert not ok
+    assert not ok and "too wide" in why

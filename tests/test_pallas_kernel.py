@@ -77,36 +77,15 @@ def sample_noise(dataset, n_steps, seed=0):
     return xs, z1s, z2s
 
 
+from kernel_test_helpers import (  # noqa: E402 — shared equivalence helpers
+    assert_trees_close,
+    run_xla_steps,
+)
+from kernel_test_helpers import pad_noise as _pad_noise  # noqa: E402
+
+
 def pad_noise(x, z1, z2, n_steps):
-    from vae_training_tpu.kernels.linear_vae import row_tile
-
-    rows = row_tile(BATCH)  # kernel blocks span the batch's row tile
-
-    def emb(a):
-        out = np.zeros((n_steps, rows, N), np.float32)
-        out[:, : a.shape[1], : a.shape[2]] = a
-        return jnp.asarray(out)
-
-    return emb(x), emb(z1), emb(z2)
-
-
-def run_xla_steps(model, tx, state, xs, z1s, z2s):
-    from vae_training_tpu.ops import elbo_terms
-
-    def loss_fn(params, batch, z1, z2):
-        x_hat, mu, logvar_e, epsilon = model.apply(
-            {"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
-        return loss
-
-    params, opt_state = state.params, state.opt_state
-    losses = []
-    for i in range(xs.shape[0]):
-        loss, grads = jax.value_and_grad(loss_fn)(params, xs[i], z1s[i], z2s[i])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        losses.append(float(loss))
-    return params, opt_state, np.array(losses)
+    return _pad_noise(x, z1, z2, n_steps, batch=BATCH, lane=N)
 
 
 def run_kernel(dataset, model, state, xs, z1s, z2s, tdv, dual):
@@ -128,17 +107,6 @@ def run_kernel(dataset, model, state, xs, z1s, z2s, tdv, dual):
     kstate = unpack_state(state, new_buffers, n_steps, D, LATENT, tdv,
                           dual=dual)
     return kstate, np.asarray(losses)
-
-
-def assert_trees_close(a, b, rtol, atol):
-    flat_b = {jax.tree_util.keystr(p): v
-              for p, v in jax.tree_util.tree_leaves_with_path(b)}
-    for path, val in jax.tree_util.tree_leaves_with_path(a):
-        key = jax.tree_util.keystr(path)
-        np.testing.assert_allclose(
-            np.asarray(val), np.asarray(flat_b[key]),
-            rtol=rtol, atol=atol, err_msg=key,
-        )
 
 
 @pytest.mark.parametrize("kind,tdv", [
@@ -188,7 +156,7 @@ def test_padded_regions_stay_zero():
     assert np.all(vec[5:, :] == 0)  # unused rows
 
 
-def test_pallas_supported_gating():
+def test_pallas_supported_gating(monkeypatch):
     from types import SimpleNamespace
 
     from vae_training_tpu.kernels.linear_vae import pallas_supported
@@ -196,19 +164,24 @@ def test_pallas_supported_gating():
     cfg = SimpleNamespace(batch_size=100, mesh="")
     dataset, model, _, _ = setup("linear")
     ok, why = pallas_supported(model, dataset, cfg)
-    if jax.default_backend() != "tpu":
-        assert not ok and "TPU" in why
+    assert not ok and "TPU" in why  # conftest forces CPU
     sdataset, smodel, _, _ = setup("sigmoid")
-    ok, why = pallas_supported(smodel, sdataset, cfg)
-    if jax.default_backend() != "tpu":
-        assert not ok and "TPU" in why
+    # The backend check short-circuits on CPU, which would make every
+    # config-logic assertion below vacuous — pretend we're on TPU so the
+    # ACTUAL gating logic runs and assert on the specific reasons.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ok, _ = pallas_supported(model, dataset, cfg)
+    assert ok
+    ok, _ = pallas_supported(smodel, sdataset, cfg)
+    assert ok
     # mismatched model/dataset pairs rejected
     ok, why = pallas_supported(model, sdataset, cfg)
-    assert not ok
+    assert not ok and "dual decoder" in why
     ok, why = pallas_supported(smodel, dataset, cfg)
-    assert not ok
+    assert not ok and "dual decoder" in why
     # MLP configs rejected
     mlp = build_vae(data_dim=dataset.dimension, latent_dim=LATENT,
                     encoder_layer_sizes="64", decoder_layer_sizes="64")
     ok, why = pallas_supported(mlp, dataset, cfg)
-    assert not ok
+    assert not ok and "0-hidden-layer" in why
+    # fully-supported pairs were accepted above under the fake TPU backend

@@ -27,6 +27,17 @@ def run_cli(args, timeout=240, **popen_kw):
     )
 
 
+def communicate_checked(proc, timeout):
+    """communicate() that never leaks a still-running child on timeout."""
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
+    return out
+
+
 BASE = ["--dataset", "linear_gaussian", "--encoder_layer_sizes", "",
         "--layer_sizes", "", "-ow", "--latent_dim", "6", "--padding_dim",
         "3", "-dd", "3", "--batch_size", "32", "-tdv", "--epsilon", "-1",
@@ -40,28 +51,35 @@ def test_sigterm_then_resume_completes(tmp_path):
     proc = run_cli(
         ["pre", *BASE, "--num_batches", "60000",
          "--checkpoint_every", "2000", "--data_dir", data_dir])
-    ckpt = os.path.join(data_dir, "pre", "ckpt_meta.json")
-    deadline = time.time() + 180
-    step = 0
-    while time.time() < deadline:
-        if os.path.exists(ckpt):
-            try:
-                step = json.load(open(ckpt))["step"]
-            except Exception:
-                step = 0
-            if step >= 2000:
-                break
-        time.sleep(1)
-    assert step >= 2000, "no checkpoint appeared before the deadline"
-    proc.send_signal(signal.SIGTERM)
-    proc.wait(timeout=60)
+    try:
+        ckpt = os.path.join(data_dir, "pre", "ckpt_meta.json")
+        deadline = time.time() + 180
+        step = 0
+        while time.time() < deadline:
+            if os.path.exists(ckpt):
+                try:
+                    step = json.load(open(ckpt))["step"]
+                except Exception:
+                    step = 0
+                if step >= 2000:
+                    break
+            time.sleep(1)
+        assert step >= 2000, "no checkpoint appeared before the deadline"
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+    finally:
+        # an assert above must not leak a 60000-batch child writing into
+        # an undrained PIPE for the rest of the session
+        if proc.poll() is None:
+            proc.kill()
+        proc.communicate()
 
     # Resume to a short final target and verify completion from >= ckpt step.
     resume_target = step + 3000
     proc2 = run_cli(
         ["pre_resumed", *BASE, "--num_batches", str(resume_target),
          "--resume", os.path.join(data_dir, "pre"), "--data_dir", data_dir])
-    out, _ = proc2.communicate(timeout=240)
+    out = communicate_checked(proc2, 240)
     assert proc2.returncode == 0, out.decode()[-2000:]
     z = np.load(os.path.join(data_dir, "pre_resumed", "losses.npz"),
                 allow_pickle=True)
@@ -76,7 +94,7 @@ def test_sigterm_then_resume_completes(tmp_path):
     proc3 = run_cli(
         ["pre_full", *BASE, "--num_batches", str(resume_target),
          "--data_dir", data_dir])
-    out, _ = proc3.communicate(timeout=240)
+    out = communicate_checked(proc3, 240)
     assert proc3.returncode == 0, out.decode()[-2000:]
     zf = np.load(os.path.join(data_dir, "pre_full", "losses.npz"),
                  allow_pickle=True)
