@@ -139,6 +139,10 @@ def build_grid(kernels: str = "auto", precision: str = "bf16"):
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
     groups = [GridTrainer(by_seed[seeds[0]], seeds)
               for by_seed in rows.values()]
+    if kernels == "xla":
+        # the comparison column: same 21 rows as per-group vmapped XLA
+        # grid launches (GridTrainer already built XLA-only chunks above)
+        return _PerGroupSweep(groups)
     try:
         return MixedGridSweep(groups)
     except MixedSweepUnavailable as e:
@@ -251,23 +255,31 @@ def main() -> int:
                         "MXU-native) or fp32 (Precision.HIGHEST true-fp32 "
                         "dots — measures the cost of reference-exact "
                         "arithmetic).")
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="Backend under test: auto (default, fastest "
+                        "available), xla (the scan path — the comparison "
+                        "column in PARITY), pallas (require the fused "
+                        "kernel).")
     args = p.parse_args()
 
     enable_compile_cache()
     log(f"devices: {jax.devices()}")
     trainer = None
     if args.config == "grid":
-        sweep = build_grid("auto", args.precision)
+        sweep = build_grid(args.kernels, args.precision)
         steps_per_sec = measure_grid(sweep)
     elif args.config == "conv":
         conv_trainer, dataset = build_conv()
         steps_per_sec = measure_conv(conv_trainer, dataset)
     else:
         try:
-            trainer = build("auto", args.config, args.precision)
+            trainer = build(args.kernels, args.config, args.precision)
             log(f"backend fns: {trainer.fns!r}")
             steps_per_sec = measure(trainer)
         except Exception as e:  # scoring insurance: fall back to the XLA path
+            if args.kernels != "auto":
+                raise  # an explicitly requested backend must not be papered over
             log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
             trainer = build("xla", args.config, args.precision)
             steps_per_sec = measure(trainer)
