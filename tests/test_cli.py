@@ -150,3 +150,27 @@ def test_resume_clobber_guards(tmp_outdir):
     # -ow that would wipe the resume source (a subpath) is refused
     with pytest.raises(ValueError, match="lies inside"):
         main(argv("src", "-ow", "--resume", os.path.join(src, "sub")))
+
+def test_parser_defaults_match_dataclass_defaults():
+    """The flag surface has two declarations (RunConfig fields and argparse
+    defaults); this pins them together so a default changed in one place
+    can't silently diverge CLI runs from programmatic RunConfig() users
+    (sweep.py, bench.py, tests)."""
+    import dataclasses
+
+    from vae_training_tpu.config import RunConfig, build_parser
+
+    fields = {f.name: f for f in dataclasses.fields(RunConfig)}
+    p = build_parser()
+    checked = 0
+    for action in p._actions:
+        if action.dest in ("help", "name") or action.dest not in fields:
+            continue
+        f = fields[action.dest]
+        expected = (f.default if f.default is not dataclasses.MISSING
+                    else f.default_factory())
+        assert action.default == expected, (
+            f"--{action.dest}: parser default {action.default!r} != "
+            f"RunConfig default {expected!r}")
+        checked += 1
+    assert checked >= 25  # the shared surface really was compared

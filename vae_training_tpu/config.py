@@ -107,6 +107,13 @@ class RunConfig:
             )
         if self.kernels not in ("auto", "xla", "pallas"):
             raise ValueError(f"--kernels must be auto|xla|pallas, got {self.kernels}")
+        if self.arch not in ("auto", "mlp", "conv"):
+            # consumers branch `if arch == "conv" else mlp` — a typo would
+            # silently train the wrong architecture without this check
+            raise ValueError(f"--arch must be auto|mlp|conv, got {self.arch}")
+        if self.ckpt_backend not in ("msgpack", "orbax"):
+            raise ValueError(
+                f"--ckpt_backend must be msgpack|orbax, got {self.ckpt_backend}")
         if self.precision not in ("fp32", "bf16"):
             raise ValueError(
                 f"--precision must be fp32|bf16, got {self.precision}")

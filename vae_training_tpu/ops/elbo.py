@@ -16,12 +16,17 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# host math, NOT jnp: a module-level device op would initialize the JAX
+# backend at import time, freezing platform selection before
+# _platform.honor_platform_env() can run (and paying axon client init
+# just to compute a constant)
+LOG_2PI = math.log(2.0 * math.pi)
 EPS = 1e-8
 
 
