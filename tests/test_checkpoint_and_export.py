@@ -369,3 +369,42 @@ def test_stale_async_save_after_newer_sync_save(tmp_outdir):
     import json
     meta = json.load(open(os.path.join(out, "ckpt_meta.json")))
     assert meta["step"] == 25
+
+
+def test_orbax_old_promoted_not_deleted_before_new_save(tmp_outdir):
+    """ADVICE r2: when only the set-aside .old survives a mid-swap
+    preemption, the next save must PROMOTE it back to `path` before
+    writing — never rmtree the only copy. A second failure during the
+    (multi-second) ckptr.save window must still leave a restorable
+    checkpoint."""
+    import orbax.checkpoint as ocp
+    import pytest
+
+    from vae_training_tpu.runio.checkpoint import (
+        ORBAX_NAME,
+        checkpoint_exists,
+        save_checkpoint_orbax,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "orbpromote", ckpt_backend="orbax")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 5)
+    save_checkpoint_orbax(out, trainer.state)
+    path = os.path.join(out, ORBAX_NAME)
+    # preemption mid-swap: only .old survives
+    os.replace(path, path + ".old")
+
+    # second preemption: the new save dies inside ckptr.save
+    real_save = ocp.StandardCheckpointer.save
+    try:
+        ocp.StandardCheckpointer.save = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("preempted during save"))
+        trainer.state, _ = trainer.fns.train_chunk(trainer.state, 1)
+        with pytest.raises(RuntimeError, match="preempted"):
+            save_checkpoint_orbax(out, trainer.state)
+    finally:
+        ocp.StandardCheckpointer.save = real_save
+
+    # the step-5 checkpoint must have survived (promoted to `path`)
+    assert checkpoint_exists(out)
+    restored = restore_checkpoint(out, jax.device_get(trainer.state))
+    assert int(restored.step) == 5

@@ -171,3 +171,46 @@ def test_epoch_training_converges(tmp_outdir):
     trainer.train()
     last = float(trainer.compute_stats()["VAE Loss"])
     assert last < first
+
+
+def test_from_npz_pixel_range_explicit_and_metadata(tmp_path):
+    """ADVICE r2: an all-nonnegative [-1,1]-meaning corpus must be loadable
+    unshifted — via pixel_range='pm1', an npz pixel_range metadata array,
+    or the --image_range flag — with the heuristic only as fallback."""
+    bright = np.random.RandomState(0).rand(6, 8, 8).astype(np.float32)
+
+    p1 = str(tmp_path / "a.npz")
+    np.savez(p1, images=bright)
+    # heuristic fallback: all-nonnegative floats are remapped x*2-1
+    ds = ImageDataset.from_npz(p1)
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0],
+                               bright * 2 - 1, atol=1e-6)
+    # explicit override: pass through unchanged
+    ds = ImageDataset.from_npz(p1, pixel_range="pm1")
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0], bright,
+                               atol=1e-6)
+
+    # npz metadata wins over the heuristic under 'auto'
+    p2 = str(tmp_path / "b.npz")
+    np.savez(p2, images=bright, pixel_range="pm1")
+    ds = ImageDataset.from_npz(p2)
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0], bright,
+                               atol=1e-6)
+
+    # integer dtype ⇒ 0..255 even when all values <= 1
+    p3 = str(tmp_path / "c.npz")
+    np.savez(p3, images=np.zeros((2, 8, 8), np.uint8))
+    ds = ImageDataset.from_npz(p3)
+    np.testing.assert_allclose(np.asarray(ds.images), -1.0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="pixel_range"):
+        ImageDataset.from_npz(p1, pixel_range="bogus")
+
+    # the CLI flag threads through the registry
+    cfg = RunConfig(
+        name="rng", dataset="image", image_source=p1, image_range="pm1",
+        num_batches=1, tqdm=False,
+    ).validate()
+    ds = get_dataset("image", 0, cfg)
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0], bright,
+                               atol=1e-6)

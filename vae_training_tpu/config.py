@@ -62,6 +62,7 @@ class RunConfig:
     arch: str = "auto"  # auto | mlp | conv (conv for image datasets)
     conv_channels: str = "32|64"  # conv stack widths for --arch conv
     image_source: str = "synthetic"  # synthetic | <path.npz> | <folder>
+    image_range: str = "auto"  # auto | 0_255 | 0_1 | pm1 (npz source range)
     image_size: int = 28
     num_images: int = 4096
     # Track (params, grads) at each eval and emit the correlation-ratio
@@ -197,6 +198,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conv_channels", dest="conv_channels", default="32|64")
     p.add_argument("--image_source", dest="image_source", default="synthetic",
                    help="'synthetic' or a path to an .npz / image folder.")
+    p.add_argument("--image_range", dest="image_range", default="auto",
+                   choices=["auto", "0_255", "0_1", "pm1"],
+                   help="Pixel range of an .npz corpus (auto = npz "
+                        "pixel_range metadata, else heuristic).")
     p.add_argument("--image_size", dest="image_size", type=int, default=28)
     p.add_argument("--num_images", dest="num_images", type=int, default=4096)
     p.add_argument("--track_correlation", dest="track_correlation",

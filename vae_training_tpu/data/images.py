@@ -76,25 +76,51 @@ class ImageDataset(struct.PyTreeNode):
         return cls(images=jnp.asarray(imgs[..., None]), h=size, w=size, c=1)
 
     @classmethod
-    def from_npz(cls, path: str, key: str = "images") -> "ImageDataset":
-        arr = np.load(path)[key].astype(np.float32)
-        if arr.ndim == 3:
-            arr = arr[..., None]
-        # Range heuristic (announced on stderr — it can't be inferred with
-        # certainty): >1.5 ⇒ 0..255; all-nonnegative ⇒ [0,1] like
-        # from_folder; any negative values ⇒ already [-1,1], unchanged.
+    def from_npz(cls, path: str, key: str = "images",
+                 pixel_range: str = "auto") -> "ImageDataset":
+        """Load an (n,h,w[,c]) corpus from ``path``.
+
+        ``pixel_range`` declares the source range explicitly:
+          - ``"0_255"``: remap x/127.5 - 1
+          - ``"0_1"``:   remap x*2 - 1
+          - ``"pm1"``:   already [-1, 1], pass through unchanged
+          - ``"auto"`` (default): honor a ``pixel_range`` metadata array in
+            the npz if present, else fall back to the heuristic below.
+        Heuristic (announced on stderr — it can't be inferred with
+        certainty): integer dtype or max>1.5 ⇒ 0..255; all-nonnegative
+        floats ⇒ [0,1] like from_folder; any negative value ⇒ [-1,1].
+        """
         import sys
 
-        if arr.max() > 1.5:  # 0..255 → [-1, 1]
+        data = np.load(path)
+        raw = data[key]
+        is_integer = np.issubdtype(raw.dtype, np.integer)
+        arr = raw.astype(np.float32)
+        if arr.ndim == 3:
+            arr = arr[..., None]
+        if pixel_range == "auto" and "pixel_range" in getattr(
+                data, "files", ()):
+            pixel_range = str(np.asarray(data["pixel_range"]).item())
+        if pixel_range == "auto":
+            if is_integer or arr.max() > 1.5:
+                pixel_range = "0_255"
+            elif arr.min() >= 0.0:
+                pixel_range = "0_1"
+                print(f"[images] {path}: all-nonnegative floats — assuming "
+                      f"[0, 1] and remapping to [-1, 1] (x*2 - 1); if the "
+                      f"corpus is ALREADY [-1, 1], pass pixel_range='pm1' "
+                      f"(or store a pixel_range='pm1' array in the npz)",
+                      file=sys.stderr, flush=True)
+            else:
+                pixel_range = "pm1"
+        if pixel_range in ("0_255", "255"):
             arr = arr / 127.5 - 1.0
-            print(f"[images] {path}: detected 0..255 range, remapped to "
-                  f"[-1, 1] (x/127.5 - 1)", file=sys.stderr, flush=True)
-        elif arr.min() >= 0.0:  # [0, 1] floats → [-1, 1] (like from_folder)
+        elif pixel_range in ("0_1", "01"):
             arr = arr * 2.0 - 1.0
-            print(f"[images] {path}: detected [0, 1] range, remapped to "
-                  f"[-1, 1] (x*2 - 1); if the corpus was ALREADY [-1, 1] "
-                  f"with no negative pixels, pre-shift it or include one "
-                  f"negative value", file=sys.stderr, flush=True)
+        elif pixel_range not in ("pm1", "-1_1"):
+            raise ValueError(
+                f"unknown pixel_range {pixel_range!r}; expected "
+                f"auto | 0_255 | 0_1 | pm1")
         n, h, w, c = arr.shape
         return cls(images=jnp.asarray(arr), h=h, w=w, c=c)
 

@@ -75,7 +75,8 @@ def _make_image(seed, args):
             size=getattr(args, "image_size", 28),
         )
     if source.endswith(".npz"):
-        return ImageDataset.from_npz(source)
+        return ImageDataset.from_npz(
+            source, pixel_range=getattr(args, "image_range", "auto"))
     return ImageDataset.from_folder(source, size=getattr(args, "image_size", None))
 
 

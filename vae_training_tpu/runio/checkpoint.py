@@ -220,9 +220,19 @@ def save_checkpoint_orbax(dirname: str, state,
         prev = _read_meta(dirname)
         if prev is not None and prev.get("step", -1) > int(state.step):
             return path
-        for leftover in (tmp_path, old_path):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+        if os.path.exists(tmp_path):
+            shutil.rmtree(tmp_path)
+        if os.path.exists(old_path):
+            if not os.path.exists(path):
+                # A prior save was preempted mid-swap: the set-aside .old is
+                # the ONLY surviving checkpoint. Promote it back to `path`
+                # (restore_checkpoint_orbax would read it from .old anyway)
+                # rather than deleting it — rmtree here followed by a second
+                # preemption during the multi-second ckptr.save would leave
+                # the run with zero checkpoints.
+                os.replace(old_path, path)
+            else:
+                shutil.rmtree(old_path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(tmp_path, jax.device_get(state))
         ckptr.wait_until_finished()

@@ -629,12 +629,7 @@ class Trainer:
             ),
         )
         self.dataset.save(os.path.join(self.dirname, "dataset.pk"))
-
-    def load(self) -> None:
-        if self.cfg.data_fn is not None:
-            self.dataset = self.dataset.load(self.cfg.data_fn) or self.dataset
-        if self.cfg.state_dict:
-            params, opt_state = load_model_pkl(
-                self.cfg.state_dict, self.state.params, self.state.opt_state
-            )
-            self.state = self.state.replace(params=params, opt_state=opt_state)
+    # NOTE: there is deliberately no Trainer.load() — --state_dict/--data_fn
+    # restores happen once in __init__ (and run.py owns dataset loading);
+    # a second dead load path is exactly the pattern SURVEY §3.5 flags in
+    # the reference (/root/reference/model.py:91-94, never called).

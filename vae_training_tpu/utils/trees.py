@@ -67,7 +67,14 @@ def sin_theta_distance(A: jnp.ndarray, B: jnp.ndarray) -> jax.Array:
     """Sin-theta subspace distance between (column spaces of) A and B.
 
     Reference: /root/reference/utils.py:317-325 (assumes orthogonal inputs).
+
+    The SVDs run on HOST numpy (this repo's convention for every
+    decomposition — device SVD hangs nondeterministically on the TPU
+    runtime); inputs are fetched, the result returns as a jax scalar, so
+    the jnp-facing signature is unchanged. Not jit-traceable by design.
     """
-    U, _, _ = jnp.linalg.svd(A)
-    Up, _, _ = jnp.linalg.svd(B)
-    return 0.5 * jnp.linalg.norm(U - Up, ord="fro")
+    import numpy as np
+
+    U, _, _ = np.linalg.svd(np.asarray(jax.device_get(A)))
+    Up, _, _ = np.linalg.svd(np.asarray(jax.device_get(B)))
+    return jnp.asarray(0.5 * np.linalg.norm(U - Up, ord="fro"))
