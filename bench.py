@@ -20,6 +20,12 @@ import json
 import sys
 import time
 
+# Honor JAX_PLATFORMS=cpu before backends initialize (the axon
+# sitecustomize otherwise overrides the env var) — same guard as run.py.
+from vae_training_tpu._platform import honor_platform_env
+
+honor_platform_env()
+
 import jax
 import jax.numpy as jnp
 
@@ -146,9 +152,15 @@ def build_grid(kernels: str = "auto", precision: str = "bf16"):
     try:
         return MixedGridSweep(groups)
     except MixedSweepUnavailable as e:
-        # scoring insurance: outside the fused envelope (e.g. non-TPU
-        # backend), measure the same 21 rows as per-group grid launches —
-        # an honest aggregate, and the one-JSON-line contract survives
+        if kernels == "pallas":
+            # an explicitly requested backend must not be papered over:
+            # no one-launch kernel ⇒ exit nonzero, never measure XLA
+            # under a pallas label (GridTrainer construction above already
+            # raises off-TPU for the same reason)
+            raise
+        # scoring insurance (auto): outside the fused envelope, measure the
+        # same 21 rows as per-group grid launches — an honest aggregate,
+        # and the one-JSON-line contract survives
         log(f"one-launch unavailable ({e}); per-row grid launches")
         return _PerGroupSweep(groups)
 

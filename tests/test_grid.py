@@ -163,3 +163,35 @@ def test_grid_resume_artifacts_equal_uninterrupted(tmp_outdir):
             np.testing.assert_array_equal(
                 np.asarray(za[k], dtype=np.float64),
                 np.asarray(zb[k], dtype=np.float64), err_msg=k)
+
+
+def test_grid_kernels_pallas_strict_raises_off_tpu(tmp_outdir):
+    """--kernels pallas must never silently train on the XLA fallback
+    (VERDICT r2 item 3): grid construction raises when the fused kernel is
+    unavailable (here: non-TPU backend)."""
+    cfg = make_cfg(tmp_outdir, kernels="pallas")
+    with pytest.raises(ValueError, match="pallas"):
+        GridTrainer(cfg, seeds=[2, 3])
+
+
+def test_grid_kernels_pallas_nojit_raises(tmp_outdir):
+    cfg = make_cfg(tmp_outdir, kernels="pallas", nojit=True)
+    with pytest.raises(ValueError, match="nojit"):
+        GridTrainer(cfg, seeds=[2, 3])
+
+
+def test_bench_grid_pallas_exits_nonzero_off_tpu():
+    """bench.py --config grid --kernels pallas must exit nonzero off-TPU
+    rather than measuring XLA under a pallas label."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--config", "grid",
+         "--kernels", "pallas"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode != 0
+    assert "pallas" in (out.stderr + out.stdout)

@@ -1,0 +1,226 @@
+"""The REAL fused grid kernels under shard_map with dp>1 (VERDICT r2 #1).
+
+Previous CPU-mesh tests exercised the sharding program structure with the
+vmapped XLA chunk standing in for the kernel body; here the per-shard body
+IS the pallas kernel (interpret mode — runs on any backend), executed on
+the 8-virtual-device mesh at dp=4 and dp=8, and pinned BITWISE to
+solo-interpret kernel rows via the external-noise hook. Covers the
+linear/sigmoid kernel, the MLP kernel, and MixedGridSweep's row sharding
+with the real run_rows. The multi-chip claim (aggregate ≈ N × single-chip
+fused rate, zero collectives) now rests on the actual sharded program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kernel_test_helpers import pad_noise
+from vae_training_tpu.config import RunConfig
+from vae_training_tpu.kernels.linear_vae import (
+    N,
+    chunk_seed_and_t0,
+    pack_state,
+    run_fused_chunk,
+    unpack_state,
+)
+from vae_training_tpu.kernels.mlp_vae import (
+    LANE,
+    _layer_dims,
+    pack_mlp_state,
+    run_mlp_fused_chunk,
+    unpack_mlp_state,
+)
+from vae_training_tpu.train.grid import GridTrainer
+
+N_STEPS = 4
+BATCH = 32
+SEEDS = [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def make_cfg(tmpdir, mesh="", **kw):
+    defaults = dict(
+        name="gmp",
+        dataset="linear_gaussian",
+        encoder_layer_sizes="",
+        layer_sizes="",
+        latent_dimension=6,
+        padding_dim=3,
+        dataset_dimension=3,
+        dataset_intrinsic_dimension=3,
+        num_batches=100,
+        batch_size=BATCH,
+        learning_rate=1e-3,
+        epsilon=-1.0,
+        tunable_decoder_var=True,
+        overwrite=True,
+        tqdm=False,
+        data_dir=tmpdir,
+        mesh=mesh,
+        kernels="auto",
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults).validate()
+
+
+def make_noise(n_rows, data_dim, latent_dim, lane, seed=0):
+    """Per-row (x, z1, z2) streams, each (n_rows, n_steps, rows, lane)."""
+    rng = np.random.RandomState(seed)
+    per_row = []
+    for _ in range(n_rows):
+        x = rng.randn(N_STEPS, BATCH, data_dim).astype(np.float32)
+        z1 = rng.randn(N_STEPS, BATCH, latent_dim).astype(np.float32)
+        z2 = rng.randn(N_STEPS, BATCH, data_dim).astype(np.float32)
+        per_row.append(pad_noise(x, z1, z2, N_STEPS, batch=BATCH, lane=lane))
+    return tuple(jnp.stack([r[j] for r in per_row]) for j in range(3))
+
+
+def row_state(states, i):
+    return jax.tree_util.tree_map(lambda x: x[i], states)
+
+
+def assert_row_equals_tree(grid_tree, i, solo_tree, msg=""):
+    flat_s = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(solo_tree)}
+    for path, val in jax.tree_util.tree_leaves_with_path(grid_tree):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(
+            np.asarray(val)[i], np.asarray(flat_s[key]),
+            err_msg=f"{msg} row {i}: {key}")
+
+
+@pytest.mark.parametrize("dp", [4, 8])
+def test_linear_fused_grid_under_shard_map_bitwise(tmp_outdir, dp):
+    """The pallas linear-VAE grid kernel executes inside _wrap_grid_chunk's
+    shard_map at dp>1 and reproduces each solo-interpret kernel row
+    bitwise (external noise ⇒ identical streams on every path)."""
+    trainer = GridTrainer(make_cfg(tmp_outdir, mesh=f"dp={dp}"), SEEDS)
+    D, L = trainer.data_dim, trainer.latent_dim
+    noise = make_noise(len(SEEDS), D, L, N)
+    fused = trainer._build_pallas_grid_chunk(
+        interpret=True, external_noise=noise)
+    assert fused is not None, "interpret-mode fused chunk must build on CPU"
+
+    init_states = jax.device_get(trainer.state_grid)  # pre-donation snapshot
+    new_grid, losses = fused(trainer.dataset_grid, trainer.state_grid,
+                             N_STEPS)
+    # really sharded over dp devices, really executed
+    leaf = jax.tree_util.tree_leaves(new_grid.params)[0]
+    assert len(leaf.sharding.device_set) == dp
+    losses = np.asarray(losses)
+    assert losses.shape == (len(SEEDS), N_STEPS)
+
+    for i in range(len(SEEDS)):
+        st = row_state(init_states, i)
+        solo_bufs, solo_losses = run_fused_chunk(
+            n_steps=N_STEPS, seed_and_t0=chunk_seed_and_t0(st),
+            a_t=jnp.zeros((N, N), jnp.float32),
+            buffers=pack_state(st, D, L, True),
+            batch=BATCH, data_dim=D, latent_dim=L, intrinsic_dim=3,
+            var_added=0.0, eps_const=-1.0, tdv=True, lr=1e-3,
+            external_noise=tuple(n[i] for n in noise), interpret=True,
+        )
+        np.testing.assert_array_equal(losses[i], np.asarray(solo_losses),
+                                      err_msg=f"row {i} losses")
+        solo_state = unpack_state(st, solo_bufs, N_STEPS, D, L, True)
+        assert_row_equals_tree(new_grid.params, i, solo_state.params,
+                               "params")
+        assert_row_equals_tree(new_grid.opt_state, i, solo_state.opt_state,
+                               "opt")
+
+
+def test_mlp_fused_grid_under_shard_map_bitwise(tmp_outdir):
+    """Same dp>1 guarantee for the MLP kernel (sphere-sweep architecture)."""
+    dp, seeds = 4, SEEDS[:4]
+    trainer = GridTrainer(
+        make_cfg(tmp_outdir, mesh=f"dp={dp}", dataset="sphere",
+                 encoder_layer_sizes="16|16", layer_sizes="16|16",
+                 epsilon=-3.0),
+        seeds)
+    D, L = trainer.data_dim, trainer.latent_dim
+    model = trainer.model
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, L)
+    noise = make_noise(len(seeds), D, L, LANE, seed=1)
+    fused = trainer._build_mlp_pallas_grid_chunk(
+        interpret=True, external_noise=noise)
+    assert fused is not None
+
+    init_states = jax.device_get(trainer.state_grid)
+    new_grid, losses = fused(trainer.dataset_grid, trainer.state_grid,
+                             N_STEPS)
+    leaf = jax.tree_util.tree_leaves(new_grid.params)[0]
+    assert len(leaf.sharding.device_set) == dp
+    losses = np.asarray(losses)
+
+    for i in range(len(seeds)):
+        st = row_state(init_states, i)
+        solo_packed, solo_losses = run_mlp_fused_chunk(
+            n_steps=N_STEPS, seed_and_t0=chunk_seed_and_t0(st),
+            a_t=jnp.zeros((LANE, LANE), jnp.float32),
+            packed=pack_mlp_state(st, enc_dims, dec_dims, True),
+            batch=BATCH, data_dim=D, latent_dim=L,
+            enc_dims=enc_dims, dec_dims=dec_dims, dataset_kind="sphere",
+            intrinsic_dim=3, var_added=0.0, eps_const=-3.0,
+            tdv=True, lr=1e-3,
+            external_noise=tuple(n[i] for n in noise), interpret=True,
+        )
+        np.testing.assert_array_equal(losses[i], np.asarray(solo_losses),
+                                      err_msg=f"row {i} losses")
+        solo_state = unpack_mlp_state(st, solo_packed, N_STEPS, enc_dims,
+                                      dec_dims, True, L)
+        assert_row_equals_tree(new_grid.params, i, solo_state.params,
+                               "params")
+        assert_row_equals_tree(new_grid.opt_state, i, solo_state.opt_state,
+                               "opt")
+
+
+def test_mixed_sweep_shard_rows_real_kernel_bitwise(tmp_outdir):
+    """MixedGridSweep._shard_rows with the REAL run_rows (interpret-mode
+    pallas body) at dp=4: mixed-dimension rows from two groups train
+    sharded and match solo-interpret kernel rows bitwise."""
+    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+
+    seeds = [2, 3]
+    g1 = GridTrainer(make_cfg(tmp_outdir, name="mx1"), seeds)
+    g2 = GridTrainer(
+        make_cfg(tmp_outdir, name="mx2", dataset_dimension=4,
+                 dataset_intrinsic_dimension=4, padding_dim=2,
+                 latent_dimension=10),
+        seeds)
+    sweep = MixedGridSweep([g1, g2], mesh_spec="dp=4", interpret=True)
+    assert sweep.n_rows == 4
+
+    # noise rows ordered as the concatenated launch: g1 rows then g2 rows
+    n1 = make_noise(2, g1.data_dim, g1.latent_dim, N, seed=2)
+    n2 = make_noise(2, g2.data_dim, g2.latent_dim, N, seed=3)
+    noise = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(n1, n2))
+
+    init = [jax.device_get(g.state_grid) for g in (g1, g2)]
+    state_grids = (g1.state_grid, g2.state_grid)
+    new_grids, loss_rows = sweep._train_chunk(state_grids, N_STEPS, noise)
+
+    for gi, (g, states) in enumerate(zip((g1, g2), init)):
+        D, L = g.data_dim, g.latent_dim
+        group_noise = (n1, n2)[gi]
+        losses_g = np.asarray(loss_rows[gi])
+        for i in range(2):
+            st = row_state(states, i)
+            solo_bufs, solo_losses = run_fused_chunk(
+                n_steps=N_STEPS, seed_and_t0=chunk_seed_and_t0(st),
+                a_t=jnp.zeros((N, N), jnp.float32),
+                buffers=pack_state(st, D, L, True),
+                batch=BATCH, data_dim=D, latent_dim=L,
+                intrinsic_dim=g.datasets[0].intrinsic_dim,
+                var_added=0.0, eps_const=-1.0, tdv=True, lr=1e-3,
+                external_noise=tuple(n[i] for n in group_noise),
+                interpret=True,
+            )
+            np.testing.assert_array_equal(
+                losses_g[i], np.asarray(solo_losses),
+                err_msg=f"group {gi} row {i} losses")
+            solo_state = unpack_state(st, solo_bufs, N_STEPS, D, L, True)
+            assert_row_equals_tree(new_grids[gi].params, i,
+                                   solo_state.params, f"g{gi} params")
+            assert_row_equals_tree(new_grids[gi].opt_state, i,
+                                   solo_state.opt_state, f"g{gi} opt")

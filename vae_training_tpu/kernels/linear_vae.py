@@ -642,15 +642,17 @@ def unpack_state(
 # ---------------------------------------------------------------------------
 
 
-def pallas_supported(model, dataset, cfg,
-                     grid_over_mesh: bool = False) -> Tuple[bool, str]:
+def pallas_supported(model, dataset, cfg, grid_over_mesh: bool = False,
+                     interpret: bool = False) -> Tuple[bool, str]:
     """``grid_over_mesh=True`` = the caller shards a SEED GRID over the mesh
     (one kernel launch per device, seeds independent) — the supported
     multi-chip shape. Solo training under --mesh still uses the XLA path
-    (a single tiny-batch step has nothing to shard a fused kernel over)."""
+    (a single tiny-batch step has nothing to shard a fused kernel over).
+    ``interpret=True`` skips the backend check: interpret-mode pallas runs
+    anywhere (the dp>1 CPU-mesh equivalence tests and dryrun_multichip)."""
     from ..data.synthetic import LinearGaussianDataset, SigmoidDataset
 
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False, f"backend {jax.default_backend()!r} is not a TPU"
     if isinstance(dataset, LinearGaussianDataset):
         if model.dual_sigmoid_decoder:

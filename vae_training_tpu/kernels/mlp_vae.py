@@ -574,15 +574,17 @@ def run_mlp_fused_chunk(
 # ---------------------------------------------------------------------------
 
 
-def mlp_pallas_supported(model, dataset, cfg,
-                         grid_over_mesh: bool = False) -> Tuple[bool, str]:
+def mlp_pallas_supported(model, dataset, cfg, grid_over_mesh: bool = False,
+                         interpret: bool = False) -> Tuple[bool, str]:
+    """``interpret=True`` skips the backend check — see
+    linear_vae.pallas_supported."""
     from ..data.synthetic import (
         LinearGaussianDataset,
         SigmoidDataset,
         SphereDataset,
     )
 
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False, f"backend {jax.default_backend()!r} is not a TPU"
     if isinstance(dataset, SphereDataset):
         if dataset.padding_dim + dataset.dim > LANE:

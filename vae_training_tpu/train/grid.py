@@ -241,22 +241,49 @@ class GridTrainer:
 
         train_chunk = self._wrap_grid_chunk(chunk_rows)
         self._train_chunk = train_chunk
+        if self.cfg.nojit and self.cfg.kernels == "pallas":
+            raise ValueError(
+                "-nojit disables compilation; drop --kernels pallas")
         if self.cfg.kernels in ("auto", "pallas") and not self.cfg.nojit:
             fused = self._build_pallas_grid_chunk()
             if fused is None:
                 fused = self._build_mlp_pallas_grid_chunk()
-            if fused is not None:
-                # runtime fallback: a config can exceed the kernel's VMEM
-                # envelope only at compile time — fall back to the vmapped
-                # XLA chunk instead of failing the run. The fused chunk
-                # DONATES state_grid, so the untried first attempt keeps a
-                # host backup to re-materialize from if the failure lands
-                # after donation (deleted buffers would poison the retry).
+            if self.cfg.kernels == "pallas":
+                # strict: an explicitly requested backend must never be
+                # silently swapped for XLA — neither at eligibility time
+                # (here) nor at compile time (no fallback wrapper below, so
+                # a VMEM-envelope failure propagates)
+                if fused is None:
+                    why = self._pallas_unavailable_reason()
+                    raise ValueError(
+                        f"--kernels pallas: fused grid kernel unavailable "
+                        f"({why}); use --kernels auto for the XLA fallback")
+                self._train_chunk = fused
+            elif fused is not None:
+                # auto: runtime fallback — a config can exceed the kernel's
+                # VMEM envelope only at compile time — fall back to the
+                # vmapped XLA chunk instead of failing the run. The fused
+                # chunk DONATES state_grid, so the untried first attempt
+                # keeps a host backup to re-materialize from if the failure
+                # lands after donation (deleted buffers would poison the
+                # retry).
                 self._train_chunk = donation_safe_fallback(
                     fused, train_chunk, state_argnum=1,
                     label="[grid] fused kernel unavailable ({err}); "
                           "using vmapped XLA")
         self._build_eval(model, batch_size, latent_dim, data_dim)
+
+    def _pallas_unavailable_reason(self) -> str:
+        """Why neither fused kernel covers this config (for the strict
+        --kernels pallas error)."""
+        from ..kernels.linear_vae import pallas_supported
+        from ..kernels.mlp_vae import mlp_pallas_supported
+
+        _, why_lin = pallas_supported(
+            self.model, self.datasets[0], self.cfg, grid_over_mesh=True)
+        _, why_mlp = mlp_pallas_supported(
+            self.model, self.datasets[0], self.cfg, grid_over_mesh=True)
+        return f"linear kernel: {why_lin}; mlp kernel: {why_mlp}"
 
     def _wrap_grid_chunk(self, rows_fn, extras=()):
         """jit a raw ``(dataset_grid, state_grid, *extras, n_steps=)`` chunk;
@@ -291,10 +318,17 @@ class GridTrainer:
 
         return wrapped
 
-    def _build_pallas_grid_chunk(self):
+    def _build_pallas_grid_chunk(self, interpret: bool = False,
+                                 external_noise=None):
         """Multi-seed fused kernel: ONE pallas launch trains every seed (one
         grid step per seed, per-seed state streamed HBM→VMEM). Returns None
-        when the config isn't in the fused kernel's envelope."""
+        when the config isn't in the fused kernel's envelope.
+
+        ``interpret=True`` builds the SAME program with the kernel in
+        interpret mode (runs on any backend — the dp>1 CPU-mesh equivalence
+        tests and dryrun_multichip execute the real pallas body this way);
+        ``external_noise`` (3 arrays, leading axis = grid rows) rides the
+        shard_map extras so every shard streams its own rows' noise."""
         from ..kernels.linear_vae import (
             grid_seed_rows,
             manifold_rows,
@@ -305,7 +339,7 @@ class GridTrainer:
         )
 
         ok, _why = pallas_supported(self.model, self.datasets[0], self.cfg,
-                                    grid_over_mesh=True)
+                                    grid_over_mesh=True, interpret=interpret)
         if not ok:
             return None
         model, cfg = self.model, self.cfg
@@ -314,7 +348,8 @@ class GridTrainer:
         dataset_kind, var_added, intrinsic_dim, a_t = manifold_rows(
             self.datasets)
 
-        def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
+        def rows_fn(dataset_grid, state_grid, a_t_rows, *noise,
+                    n_steps: int):
             del dataset_grid  # manifolds baked into the stacked a_t
             # leading axis = rows owned here (all seeds solo; the local
             # shard under --mesh) — ONE kernel launch either way
@@ -330,7 +365,8 @@ class GridTrainer:
                 latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
                 lr=cfg.learning_rate, dataset_kind=dataset_kind, dual=dual,
-                grid_n=grid_n,
+                grid_n=grid_n, interpret=interpret,
+                external_noise=tuple(noise) if noise else None,
                 fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
             )
             new_grid = jax.vmap(
@@ -339,10 +375,13 @@ class GridTrainer:
             )(state_grid, *new_buffers)
             return new_grid, losses
 
-        return self._wrap_grid_chunk(rows_fn, extras=(a_t,))
+        extras = (a_t,) + (tuple(external_noise) if external_noise else ())
+        return self._wrap_grid_chunk(rows_fn, extras=extras)
 
-    def _build_mlp_pallas_grid_chunk(self):
-        """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs)."""
+    def _build_mlp_pallas_grid_chunk(self, interpret: bool = False,
+                                     external_noise=None):
+        """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs).
+        ``interpret``/``external_noise`` as in _build_pallas_grid_chunk."""
         from ..kernels.linear_vae import grid_seed_rows, manifold_rows
         from ..kernels.mlp_vae import (
             LANE,
@@ -354,7 +393,8 @@ class GridTrainer:
         )
 
         ok, _why = mlp_pallas_supported(self.model, self.datasets[0], self.cfg,
-                                        grid_over_mesh=True)
+                                        grid_over_mesh=True,
+                                        interpret=interpret)
         if not ok:
             return None
         model, cfg = self.model, self.cfg
@@ -366,7 +406,8 @@ class GridTrainer:
         dataset_kind, var_added, intrinsic_dim, a_t = manifold_rows(
             self.datasets, size=LANE)
 
-        def rows_fn(dataset_grid, state_grid, a_t_rows, n_steps: int):
+        def rows_fn(dataset_grid, state_grid, a_t_rows, *noise,
+                    n_steps: int):
             del dataset_grid
             grid_n = a_t_rows.shape[0]  # rows owned here (shard under --mesh)
             seeds = grid_seed_rows(state_grid, data_dim, latent_dim,
@@ -382,6 +423,8 @@ class GridTrainer:
                 dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
                 var_added=var_added, eps_const=model.epsilon, tdv=tdv,
                 lr=cfg.learning_rate, grid_n=grid_n, dual=dual,
+                interpret=interpret,
+                external_noise=tuple(noise) if noise else None,
                 fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
             )
             new_grid = jax.vmap(
@@ -392,7 +435,8 @@ class GridTrainer:
             )(state_grid, *new_packed)
             return new_grid, losses
 
-        return self._wrap_grid_chunk(rows_fn, extras=(a_t,))
+        extras = (a_t,) + (tuple(external_noise) if external_noise else ())
+        return self._wrap_grid_chunk(rows_fn, extras=extras)
 
     def _build_eval(self, model, batch_size, latent_dim, data_dim):
 

@@ -60,13 +60,15 @@ def _rows_uniform(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
     return True, "ok"
 
 
-def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
+def mixed_launch_eligible(groups: Sequence[GridTrainer],
+                          interpret: bool = False) -> Tuple[bool, str]:
     """All groups must hit the SAME fused kernel (the linear kernel for
     pure-linear configs, the MLP kernel for hidden-layer configs with
     uniform hidden widths) with identical static hyperparameters (batch,
     lr, epsilon, tdv, decoder head, chunk cadences) — only the DIMS may
     differ across rows. Returns (family, reason): family is 'linear',
-    'mlp', or '' when ineligible."""
+    'mlp', or '' when ineligible. ``interpret`` skips the TPU-backend
+    check (interpret-mode kernels run anywhere)."""
     from ..kernels.linear_vae import pallas_supported
     from ..kernels.mlp_vae import _layer_dims, _padded_layer_shapes, \
         mlp_pallas_supported
@@ -81,12 +83,14 @@ def mixed_launch_eligible(groups: Sequence[GridTrainer]) -> Tuple[bool, str]:
         return "", why
 
     if all(pallas_supported(g.model, g.datasets[0], g.cfg,
-                            grid_over_mesh=True)[0] for g in groups):
+                            grid_over_mesh=True, interpret=interpret)[0]
+           for g in groups):
         return "linear", "ok"
     why_mlp = None
     for g in groups:
         ok, why_mlp = mlp_pallas_supported(g.model, g.datasets[0], g.cfg,
-                                           grid_over_mesh=True)
+                                           grid_over_mesh=True,
+                                           interpret=interpret)
         if not ok:
             return "", why_mlp
     # MLP family: the padded buffer layout must be identical across rows
@@ -125,11 +129,13 @@ class MixedGridSweep:
     collectives; rows are padded to a multiple of dp with discarded
     duplicates, so any device count works."""
 
-    def __init__(self, groups: List[GridTrainer], mesh_spec: str = ""):
-        family, why = mixed_launch_eligible(groups)
+    def __init__(self, groups: List[GridTrainer], mesh_spec: str = "",
+                 interpret: bool = False):
+        family, why = mixed_launch_eligible(groups, interpret=interpret)
         if not family:
             raise MixedSweepUnavailable(
                 f"mixed one-launch sweep unavailable: {why}")
+        self._interpret = interpret
         self.groups = groups
         self.cfg: RunConfig = groups[0].cfg
         self.mesh = None
@@ -144,7 +150,13 @@ class MixedGridSweep:
             self._build_chunk_mlp()
         else:
             self._build_chunk()
-        # Runtime insurance: a row set can exceed the kernel's VMEM
+        if self.cfg.kernels == "pallas":
+            # strict: a requested backend must never silently degrade — a
+            # compile-time failure of the one-launch kernel propagates (the
+            # per-group insurance path below would re-enter GridTrainer
+            # chunks, which in strict mode are the fused kernel anyway)
+            return
+        # Runtime insurance (auto): a row set can exceed the kernel's VMEM
         # envelope only at compile time — the first chunk call keeps a host
         # backup and falls back to the per-group chunks (which carry their
         # own pallas→XLA fallback) instead of killing the sweep with
@@ -159,17 +171,19 @@ class MixedGridSweep:
                   "per-row launches")
 
     def _shard_rows(self, run_rows):
-        """Wrap a (seeds, a_t, buffers) → (new_buffers, losses) row-kernel
-        in shard_map over dp (identity without a mesh). Rows are padded to
-        a multiple of dp by duplicating leading rows; padded outputs are
-        dropped (their training is discarded work, ≤ dp-1 rows)."""
+        """Wrap a (seeds, a_t, buffers, *extras) → (new_buffers, losses)
+        row-kernel in shard_map over dp (identity without a mesh). Every
+        operand is row-major; rows are padded to a multiple of dp by
+        duplicating leading rows; padded outputs are dropped (their
+        training is discarded work, ≤ dp-1 rows). ``extras`` (e.g. the
+        equivalence tests' external-noise streams) shard like the rest."""
         if self.mesh is None:
             return run_rows
         mesh = self.mesh
         dp = mesh.shape["dp"]
         from jax.sharding import PartitionSpec as P
 
-        def wrapped(seeds, a_t, buffers):
+        def wrapped(seeds, *operands):
             n = seeds.shape[0]
             pad = (-n) % dp
             # gather-based pad: valid even when pad > n (e.g. 3 rows on
@@ -180,15 +194,14 @@ class MixedGridSweep:
                 return jnp.take(x, idx, axis=0) if pad else x
 
             seeds = pad_rows(seeds)
-            a_t = pad_rows(a_t)
-            buffers = jax.tree_util.tree_map(pad_rows, buffers)
+            operands = jax.tree_util.tree_map(pad_rows, operands)
             new_buffers, losses = jax.shard_map(
                 run_rows,
                 mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P("dp")),
+                in_specs=(P("dp"),) * (1 + len(operands)),
                 out_specs=(P("dp"), P("dp")),
                 check_vma=False,
-            )(seeds, a_t, buffers)
+            )(seeds, *operands)
             if pad:
                 new_buffers = jax.tree_util.tree_map(
                     lambda x: x[:n], new_buffers)
@@ -208,6 +221,7 @@ class MixedGridSweep:
 
         groups = self.groups
         cfg = self.cfg
+        interpret = self._interpret
         tdv = groups[0].model.tunable_decoder_var
         dual = groups[0].model.dual_sigmoid_decoder
         dataset_kind, var_added, _, _ = manifold_rows(groups[0].datasets)
@@ -224,7 +238,8 @@ class MixedGridSweep:
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
-        def train_chunk(state_grids: Tuple, n_steps: int):
+        def train_chunk(state_grids: Tuple, n_steps: int,
+                        external_noise=None):
             all_seeds, all_bufs = [], []
             for gi, sg in enumerate(state_grids):
                 dd, ldim, idim = group_dims[gi]
@@ -239,7 +254,7 @@ class MixedGridSweep:
                 for j in range(len(all_bufs[0]))
             )
 
-            def run_rows(seeds_r, a_t_r, buffers_r):
+            def run_rows(seeds_r, a_t_r, buffers_r, *noise_r):
                 return run_fused_chunk(
                     n_steps=n_steps, seed_and_t0=seeds_r, a_t=a_t_r,
                     buffers=buffers_r, batch=cfg.batch_size,
@@ -250,12 +265,14 @@ class MixedGridSweep:
                     var_added=float(var_added), eps_const=float(cfg.epsilon),
                     tdv=tdv, lr=float(cfg.learning_rate),
                     dataset_kind=dataset_kind, dual=dual,
-                    grid_n=seeds_r.shape[0],
+                    grid_n=seeds_r.shape[0], interpret=interpret,
+                    external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
                 )
 
+            noise_ops = tuple(external_noise) if external_noise else ()
             new_buffers, losses = self._shard_rows(run_rows)(
-                seeds, a_t_all, buffers)
+                seeds, a_t_all, buffers, *noise_ops)
             new_grids, loss_rows, off = [], [], 0
             for gi, sg in enumerate(state_grids):
                 n_g = sizes[gi]
@@ -285,6 +302,7 @@ class MixedGridSweep:
 
         groups = self.groups
         cfg = self.cfg
+        interpret = self._interpret
         tdv = groups[0].model.tunable_decoder_var
         dual = groups[0].model.dual_sigmoid_decoder
         dataset_kind, var_added, _, _ = manifold_rows(groups[0].datasets,
@@ -305,7 +323,8 @@ class MixedGridSweep:
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
-        def train_chunk(state_grids: Tuple, n_steps: int):
+        def train_chunk(state_grids: Tuple, n_steps: int,
+                        external_noise=None):
             all_seeds, all_packed = [], []
             for gi, sg in enumerate(state_grids):
                 dd, ldim, idim, enc_dims, dec_dims = group_meta[gi]
@@ -322,7 +341,7 @@ class MixedGridSweep:
                 lambda *xs: jnp.concatenate(xs, axis=0), *all_packed)
             dd0, ld0, id0, enc0, dec0 = group_meta[0]
 
-            def run_rows(seeds_r, a_t_r, packed_r):
+            def run_rows(seeds_r, a_t_r, packed_r, *noise_r):
                 return run_mlp_fused_chunk(
                     n_steps=n_steps, seed_and_t0=seeds_r, a_t=a_t_r,
                     packed=packed_r, batch=cfg.batch_size,
@@ -331,12 +350,14 @@ class MixedGridSweep:
                     dataset_kind=dataset_kind, intrinsic_dim=id0,
                     var_added=float(var_added), eps_const=float(cfg.epsilon),
                     tdv=tdv, lr=float(cfg.learning_rate),
-                    grid_n=seeds_r.shape[0], dual=dual,
+                    grid_n=seeds_r.shape[0], dual=dual, interpret=interpret,
+                    external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
                 )
 
+            noise_ops = tuple(external_noise) if external_noise else ()
             new_packed, losses = self._shard_rows(run_rows)(
-                seeds, a_t_all, packed)
+                seeds, a_t_all, packed, *noise_ops)
             new_grids, loss_rows, off = [], [], 0
             for gi, sg in enumerate(state_grids):
                 n_g = sizes[gi]
