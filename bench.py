@@ -129,17 +129,19 @@ def measure_conv(trainer, dataset, reps: int = 90) -> float:
     return (reps * n_batches) / dt
 
 
-def build_grid(kernels: str = "auto", precision: str = "bf16"):
-    """The 21-row mixed-dimension linear sweep as ONE launch (the grid
-    headline): 7 (dd, pd, ld) rows × 3 seeds, trained by MixedGridSweep."""
+def build_grid(kernels: str = "auto", precision: str = "bf16",
+               family: str = "linear"):
+    """A whole sweep family as ONE launch (the grid headlines): every
+    (dd, pd, ld) row × every seed of the reference sweep, trained by
+    MixedGridSweep — linear 21 rows, sigmoid 18, sphere 15."""
     import sweep as sweep_mod
     from vae_training_tpu.train.grid import GridTrainer
     from vae_training_tpu.train.mixed_grid import (
         MixedGridSweep, MixedSweepUnavailable)
 
-    seeds = sweep_mod.SWEEP_SEEDS["linear"]
+    seeds = sweep_mod.SWEEP_SEEDS[family]
     rows = {}
-    for cfg in sweep_mod.sweep_configs("linear", "data", None, kernels):
+    for cfg in sweep_mod.sweep_configs(family, "data", None, kernels):
         cfg.precision = precision  # reaches fp32_dots in the fused kernels
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
@@ -246,8 +248,15 @@ METRIC_NAMES = {
     "sigmoid": "sigmoid_vae_train_steps_per_sec_per_chip",
     "sphere": "sphere_mlp200_vae_train_steps_per_sec_per_chip",
     "grid": "linear_sweep21_aggregate_steps_per_sec_per_chip",
+    "grid_linear": "linear_sweep21_aggregate_steps_per_sec_per_chip",
+    "grid_sigmoid": "sigmoid_sweep18_aggregate_steps_per_sec_per_chip",
+    "grid_sphere": "sphere_sweep15_aggregate_steps_per_sec_per_chip",
     "conv": "conv_vae_train_steps_per_sec_per_chip",
 }
+
+# one-launch sweep family per grid config ("grid" = the original alias)
+GRID_FAMILIES = {"grid": "linear", "grid_linear": "linear",
+                 "grid_sigmoid": "sigmoid", "grid_sphere": "sphere"}
 
 
 def main() -> int:
@@ -257,8 +266,12 @@ def main() -> int:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="linear",
-                   choices=["linear", "sigmoid", "sphere", "grid", "conv"],
-                   help="Which PARITY.md headline workload to measure.")
+                   choices=["linear", "sigmoid", "sphere", "grid",
+                            "grid_linear", "grid_sigmoid", "grid_sphere",
+                            "conv"],
+                   help="Which PARITY.md headline workload to measure "
+                        "(grid_* = the whole sweep family as one launch; "
+                        "'grid' is an alias for grid_linear).")
     p.add_argument("--latency", action="store_true",
                    help="Also report per-step dispatch latency percentiles "
                         "(stderr).")
@@ -278,8 +291,9 @@ def main() -> int:
     enable_compile_cache()
     log(f"devices: {jax.devices()}")
     trainer = None
-    if args.config == "grid":
-        sweep = build_grid(args.kernels, args.precision)
+    if args.config in GRID_FAMILIES:
+        sweep = build_grid(args.kernels, args.precision,
+                           family=GRID_FAMILIES[args.config])
         steps_per_sec = measure_grid(sweep)
     elif args.config == "conv":
         conv_trainer, dataset = build_conv()
@@ -303,12 +317,12 @@ def main() -> int:
             log("--latency applies to the linear/sigmoid/sphere configs "
                 "only; skipped")
     # The ≥20k steps/sec/chip target (BASELINE.json) is defined on the
-    # linear workload; grid is that same workload aggregated across the 21
-    # sweep rows, so the ratio stays meaningful. sigmoid/sphere/conv have
-    # no published target — emit null rather than a ratio against an
-    # unrelated workload's number.
+    # linear workload; grid(_linear) is that same workload aggregated
+    # across the 21 sweep rows, so the ratio stays meaningful. The
+    # sigmoid/sphere families and conv have no published target — emit
+    # null rather than a ratio against an unrelated workload's number.
     vs = (round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3)
-          if args.config in ("linear", "grid") else None)
+          if args.config in ("linear", "grid", "grid_linear") else None)
     print(
         json.dumps(
             {
