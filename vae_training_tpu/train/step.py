@@ -216,19 +216,36 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
             jax.random.fold_in(state.data_key, epoch), n_total
         )
 
-        def body(s, i):
+        def get_batch(i):
+            # clamp so the final iteration's prefetch stays in range (its
+            # gather is discarded — ≤ one wasted minibatch DMA per epoch)
+            i = jnp.minimum(i, n_batches - 1)
             if mesh is None:
                 base = i * batch_size
                 bs = batch_size
-                kz = jax.random.fold_in(s.model_key, s.step)
             else:
                 didx = jax.lax.axis_index("dp")
                 base = i * batch_size + didx * local_bs
                 bs = local_bs
+            idx = jax.lax.dynamic_slice(perm, (base,), (bs,))
+            return jnp.take(flat_images, idx, axis=0)
+
+        def body(carry, i):
+            s, batch = carry
+            # software pipeline: issue step i+1's corpus gather BEFORE this
+            # step's compute — it has no dependency on the grads, so the
+            # scheduler overlaps the (relayout-fused, ~20 µs) gather DMA
+            # with the conv stack instead of serializing it. Data, order,
+            # and RNG streams are IDENTICAL to the unpipelined loop.
+            next_batch = get_batch(i + 1)
+            if mesh is None:
+                bs = batch_size
+                kz = jax.random.fold_in(s.model_key, s.step)
+            else:
+                didx = jax.lax.axis_index("dp")
+                bs = local_bs
                 kz = jax.random.fold_in(
                     jax.random.fold_in(s.model_key, s.step), didx)
-            idx = jax.lax.dynamic_slice(perm, (base,), (bs,))
-            batch = jnp.take(flat_images, idx, axis=0)
             z = sample_z(kz, bs, latent_dim, data_dim)
             z1, z2 = split_z(z, latent_dim)
             loss, grads = grad_fn(s.params, batch, z1, z2)
@@ -238,10 +255,12 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
                 loss = jax.lax.pmean(loss, "dp")
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
-            return s.replace(params=params, opt_state=opt_state,
-                             step=s.step + 1), loss
+            return (s.replace(params=params, opt_state=opt_state,
+                              step=s.step + 1), next_batch), loss
 
-        return jax.lax.scan(body, state, jnp.arange(n_batches))
+        (state, _), losses = jax.lax.scan(
+            body, (state, get_batch(jnp.asarray(0))), jnp.arange(n_batches))
+        return state, losses
 
     @partial(jax.jit, static_argnames=("n_batches",), donate_argnames=("state",))
     def epoch_chunk(state: TrainState, epoch: jax.Array, n_batches: int):
