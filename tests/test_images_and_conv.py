@@ -214,3 +214,62 @@ def test_from_npz_pixel_range_explicit_and_metadata(tmp_path):
     ds = get_dataset("image", 0, cfg)
     np.testing.assert_allclose(np.asarray(ds.images)[..., 0], bright,
                                atol=1e-6)
+
+
+def test_epoch_chunk_matches_manual_steps():
+    """The (software-pipelined) epoch program is pinned step-by-step to a
+    manual per-batch computation with the same permutation and key streams
+    — guards the prefetch restructure's batch indexing (each step i must
+    still train on permutation slice i)."""
+    import optax
+
+    from vae_training_tpu.ops import elbo_terms
+    from vae_training_tpu.train.state import TrainState, make_adam
+    from vae_training_tpu.train.step import (
+        make_epoch_chunk,
+        sample_z,
+        split_z,
+    )
+
+    ds = ImageDataset.synthetic_digits(3, n=12, size=8)
+    model = build_conv_vae(image_hwc=ds.shape, latent_dim=4,
+                           channels_spec="4|8", epsilon=-1.0,
+                           tunable_decoder_var=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, ds.dimension)),
+        jnp.zeros((1, 4)), jnp.zeros((1, ds.dimension)))["params"]
+    tx = make_adam(1e-3)
+
+    def fresh():
+        return TrainState.create(
+            params=jax.device_put(jax.device_get(params)), tx=tx,
+            model_key=jax.random.PRNGKey(1), data_key=jax.random.PRNGKey(2))
+
+    bs, nb = 4, 3
+    epoch_chunk = make_epoch_chunk(model, ds, tx, bs)
+    state, losses = epoch_chunk(fresh(), jnp.asarray(5), nb)
+    losses = np.asarray(losses)
+
+    # manual reference: per-step gather + grad + adam, no pipelining
+    s = fresh()
+    flat = ds.images.reshape(ds.n, -1)
+    perm = jax.random.permutation(jax.random.fold_in(s.data_key, 5), ds.n)
+    manual = []
+    for i in range(nb):
+        batch = jnp.take(flat, perm[i * bs:(i + 1) * bs], axis=0)
+        kz = jax.random.fold_in(s.model_key, s.step)
+        z = sample_z(kz, bs, 4, ds.dimension)
+        z1, z2 = split_z(z, 4)
+
+        def loss_fn(p):
+            x_hat, mu, lv, eps = model.apply({"params": p}, batch, z1, z2)
+            return elbo_terms(batch, x_hat, mu, lv, eps)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        s = s.replace(params=optax.apply_updates(s.params, updates),
+                      opt_state=opt_state, step=s.step + 1)
+        manual.append(float(loss))
+
+    np.testing.assert_allclose(losses, manual, rtol=1e-5, atol=1e-5)
+    assert int(state.step) == nb
