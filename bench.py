@@ -148,8 +148,8 @@ def build_grid(kernels: str = "auto", precision: str = "bf16",
     groups = [GridTrainer(by_seed[seeds[0]], seeds)
               for by_seed in rows.values()]
     if kernels == "xla":
-        # the comparison column: same 21 rows as per-group vmapped XLA
-        # grid launches (GridTrainer already built XLA-only chunks above)
+        # the comparison column: the family's same rows as per-group
+        # vmapped XLA grid launches (GridTrainer built XLA-only chunks)
         return _PerGroupSweep(groups)
     try:
         return MixedGridSweep(groups)
@@ -161,8 +161,8 @@ def build_grid(kernels: str = "auto", precision: str = "bf16",
             # raises off-TPU for the same reason)
             raise
         # scoring insurance (auto): outside the fused envelope, measure the
-        # same 21 rows as per-group grid launches — an honest aggregate,
-        # and the one-JSON-line contract survives
+        # family's same rows as per-group grid launches — an honest
+        # aggregate, and the one-JSON-line contract survives
         log(f"one-launch unavailable ({e}); per-row grid launches")
         return _PerGroupSweep(groups)
 

@@ -197,11 +197,19 @@ def test_from_npz_pixel_range_explicit_and_metadata(tmp_path):
     np.testing.assert_allclose(np.asarray(ds.images)[..., 0], bright,
                                atol=1e-6)
 
-    # integer dtype ⇒ 0..255 even when all values <= 1
+    # integer dtype with values > 1 ⇒ 0..255
     p3 = str(tmp_path / "c.npz")
-    np.savez(p3, images=np.zeros((2, 8, 8), np.uint8))
+    np.savez(p3, images=np.full((2, 8, 8), 255, np.uint8))
     ds = ImageDataset.from_npz(p3)
-    np.testing.assert_allclose(np.asarray(ds.images), -1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ds.images), 1.0, atol=1e-6)
+
+    # binarized integer {0, 1} corpus ⇒ [0, 1] → {-1, +1}, NOT 0..255
+    p4 = str(tmp_path / "d.npz")
+    binarized = (np.random.RandomState(1).rand(4, 8, 8) > 0.5).astype(np.uint8)
+    np.savez(p4, images=binarized)
+    ds = ImageDataset.from_npz(p4)
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0],
+                               binarized * 2.0 - 1.0, atol=1e-6)
 
     with pytest.raises(ValueError, match="pixel_range"):
         ImageDataset.from_npz(p1, pixel_range="bogus")

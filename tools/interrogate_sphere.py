@@ -102,9 +102,13 @@ def main() -> int:
             out = os.path.join(args.data_dir, cfg.name)
             if not run_done(out, nb):
                 print(f"[probe] running {cfg.name}", flush=True)
-                rc = run_main(cfg)
-                if rc != 0:
-                    print(f"[probe] {cfg.name} FAILED rc={rc}", flush=True)
+                try:
+                    run_main(cfg)  # returns 0 or raises
+                except Exception as e:
+                    # log-and-continue: one flaky/NaN run must not abort
+                    # the campaign; the skipped run reruns on re-invocation
+                    print(f"[probe] {cfg.name} FAILED "
+                          f"({type(e).__name__}: {e})", flush=True)
                     continue
             pad, sph, smoothed = final_metrics(out)
             row = (f"dd{dd}_pd{pd}_s{ds_seed}", tag, pad, sph, smoothed)

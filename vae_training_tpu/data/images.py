@@ -86,9 +86,11 @@ class ImageDataset(struct.PyTreeNode):
           - ``"pm1"``:   already [-1, 1], pass through unchanged
           - ``"auto"`` (default): honor a ``pixel_range`` metadata array in
             the npz if present, else fall back to the heuristic below.
-        Heuristic (announced on stderr — it can't be inferred with
-        certainty): integer dtype or max>1.5 ⇒ 0..255; all-nonnegative
-        floats ⇒ [0,1] like from_folder; any negative value ⇒ [-1,1].
+        Heuristic (each auto decision is announced on stderr — the range
+        can't be inferred with certainty): integer dtype with values > 1
+        or float max > 1.5 ⇒ 0..255; integer {0, 1} (binarized) or
+        all-nonnegative floats ⇒ [0, 1] like from_folder; any negative
+        value ⇒ [-1, 1].
         """
         import sys
 
@@ -102,11 +104,17 @@ class ImageDataset(struct.PyTreeNode):
                 data, "files", ()):
             pixel_range = str(np.asarray(data["pixel_range"]).item())
         if pixel_range == "auto":
-            if is_integer or arr.max() > 1.5:
+            if arr.max() > 1.5:
                 pixel_range = "0_255"
-            elif arr.min() >= 0.0:
+                print(f"[images] {path}: detected 0..255 range, remapping "
+                      f"to [-1, 1] (x/127.5 - 1); pass pixel_range "
+                      f"explicitly to override", file=sys.stderr, flush=True)
+            elif is_integer or arr.min() >= 0.0:
+                # integer {0,1} = binarized corpus → {-1,+1}, same as
+                # nonnegative floats; NOT 0..255 (that would flatten it
+                # to a near-constant ~-1 corpus)
                 pixel_range = "0_1"
-                print(f"[images] {path}: all-nonnegative floats — assuming "
+                print(f"[images] {path}: all-nonnegative values — assuming "
                       f"[0, 1] and remapping to [-1, 1] (x*2 - 1); if the "
                       f"corpus is ALREADY [-1, 1], pass pixel_range='pm1' "
                       f"(or store a pixel_range='pm1' array in the npz)",

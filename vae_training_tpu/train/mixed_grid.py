@@ -162,10 +162,20 @@ class MixedGridSweep:
         # own pallas→XLA fallback) instead of killing the sweep with
         # donated buffers.
         groups = self.groups
+
+        def per_group_fallback(state_grids, n_steps, external_noise=None):
+            if external_noise is not None:
+                # the per-group XLA path cannot honor caller-supplied noise
+                # streams (the external-noise equivalence contract) — a
+                # silent fallback would train on DIFFERENT noise
+                raise RuntimeError(
+                    "one-launch kernel failed with external noise supplied; "
+                    "the per-group XLA fallback cannot honor it")
+            return per_group_chunk(groups, state_grids, n_steps)
+
         self._train_chunk = donation_safe_fallback(
             self._train_chunk,
-            lambda state_grids, n_steps: per_group_chunk(
-                groups, state_grids, n_steps),
+            per_group_fallback,
             state_argnum=0,
             label="[mixed] one-launch kernel unavailable ({err}); "
                   "per-row launches")
