@@ -74,33 +74,18 @@ def test_grid_cli_writes_per_seed_outputs(tmp_outdir):
 
 def test_grid_seed_matches_solo_run(tmp_outdir):
     """A seed's trajectory inside the grid equals a solo XLA run with the
-    same keys — vmap changes batching, not math."""
+    SAME FLAGS — no key surgery needed since grid rows natively share the
+    solo Trainer's key derivation (vmap changes batching, not math)."""
     cfg = make_cfg(tmp_outdir, num_batches=80)
     grid = GridTrainer(cfg, seeds=[5, 7])
     grid.state_grid, glosses = grid._train_chunk(
         grid.dataset_grid, grid.state_grid, 80
     )
 
-    # Solo: replicate grid's key derivation for seed 5
     solo_cfg = make_cfg(tmp_outdir, name="solo", dataset_seed=5)
     out = make_output_dir("solo", True, solo_cfg, data_dir=tmp_outdir)
     ds = get_dataset("linear_gaussian", 5, solo_cfg)
     trainer = Trainer(solo_cfg, ds, out)
-    # align keys with the grid's derivation
-    key = jax.random.fold_in(jax.random.PRNGKey(0), 5)
-    vae_key, key = jax.random.split(key)
-    params = trainer.model.init(
-        vae_key,
-        jax.numpy.zeros((1, ds.dimension)),
-        jax.numpy.zeros((1, 6)),
-        jax.numpy.zeros((1, ds.dimension)),
-    )["params"]
-    z_key, key = jax.random.split(key)
-    trainer.state = trainer.state.replace(
-        params=params,
-        model_key=z_key,
-        data_key=jax.random.fold_in(jax.random.PRNGKey(5), 1),
-    )
     trainer.state, slosses = trainer.fns.train_chunk(trainer.state, 80)
 
     np.testing.assert_allclose(
@@ -195,3 +180,75 @@ def test_bench_grid_pallas_exits_nonzero_off_tpu():
     )
     assert out.returncode != 0
     assert "pallas" in (out.stderr + out.stdout)
+
+
+def test_grid_rows_match_solo_run_artifacts(tmp_outdir):
+    """A --seed_grid launch must produce the SAME artifacts as per-process
+    solo runs: grid rows share the solo Trainer's PRNGKey(model_seed) chain
+    (init params, z/eval-generation streams) and derive per-row data/eval
+    streams from the dataset seed, so every losses.npz channel matches a
+    solo run of the same flags. On the CPU XLA path vmap batching
+    reassociates float sums, so values agree to tolerance rather than
+    bitwise (the fused TPU path is bitwise — chunk PRNG seeds derive from
+    the now-identical state keys)."""
+    from run import main
+
+    seeds = [2, 3]
+    kw = dict(num_batches=120, n_print=40, n_plot=80)
+    # solo runs, one per seed (the reference's sweep shape)
+    for s in seeds:
+        cfg = make_cfg(tmp_outdir, name=f"solo_s{s}", dataset_seed=s, **kw)
+        assert main(cfg) == 0
+    # one grid launch over both seeds
+    run_seed_grid(make_cfg(tmp_outdir, name="g", **kw), seeds)
+
+    for s in seeds:
+        za = np.load(os.path.join(tmp_outdir, f"solo_s{s}", "losses.npz"),
+                     allow_pickle=True)
+        zb = np.load(os.path.join(tmp_outdir, f"g_seed{s}", "losses.npz"),
+                     allow_pickle=True)
+        assert set(za.files) == set(zb.files)
+        for k in za.files:
+            a = np.asarray(za[k], np.float64)
+            b = np.asarray(zb[k], np.float64)
+            if a.size == 0:
+                continue
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=2e-4,
+                err_msg=f"seed {s} channel {k}")
+
+
+def test_grid_states_equal_solo_trainer_states(tmp_outdir):
+    """The key-derivation parity itself, asserted EXACTLY: grid row i's
+    initial params / model_key / data_key and the host eval chain equal the
+    solo Trainer's for the same flags."""
+    from vae_training_tpu.data import get_dataset
+    from vae_training_tpu.runio import make_output_dir
+    from vae_training_tpu.train import Trainer
+
+    seeds = [2, 3]
+    grid = GridTrainer(make_cfg(tmp_outdir, name="kp"), seeds)
+    for i, s in enumerate(seeds):
+        cfg = make_cfg(tmp_outdir, name=f"kp_s{s}", dataset_seed=s)
+        out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+        solo = Trainer(cfg, get_dataset(cfg.dataset, s, cfg), out)
+        row_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[i], grid.state_grid.params)
+        flat_solo = {jax.tree_util.keystr(p): v for p, v in
+                     jax.tree_util.tree_leaves_with_path(solo.state.params)}
+        for path, val in jax.tree_util.tree_leaves_with_path(row_params):
+            np.testing.assert_array_equal(
+                val, np.asarray(flat_solo[jax.tree_util.keystr(path)]),
+                err_msg=f"seed {s} {jax.tree_util.keystr(path)}")
+        np.testing.assert_array_equal(
+            np.asarray(grid.state_grid.model_key)[i],
+            np.asarray(solo.state.model_key), err_msg=f"seed {s} model_key")
+        np.testing.assert_array_equal(
+            np.asarray(grid.state_grid.data_key)[i],
+            np.asarray(solo.state.data_key), err_msg=f"seed {s} data_key")
+        np.testing.assert_array_equal(
+            np.asarray(grid._host_key), np.asarray(solo.key),
+            err_msg="host chain")
+        np.testing.assert_array_equal(
+            np.asarray(grid._eval_data_roots)[i],
+            np.asarray(solo._eval_data_root), err_msg=f"seed {s} eval root")

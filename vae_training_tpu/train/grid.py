@@ -16,13 +16,16 @@ throughput scales linearly with chip count while each chip keeps the full
 single-chip fused-kernel rate. This is the idiomatic multi-chip shape for
 this workload — scale the sweep, not the (tiny) per-seed batch.
 
-Given identical TrainStates, each grid row computes exactly what a solo XLA
-run computes: the grid axis only changes batching, not math (verified by
-tests/test_grid.py). Note the INITIALIZATION key derivation differs from the
-solo Trainer by design — grid rows derive per-seed keys via
-``fold_in(PRNGKey(model_seed), seed)`` so every row gets an independent
-stream from one launch, while a solo run splits ``PRNGKey(model_seed)``
-sequentially — so a same-flags solo run starts from different init draws.
+Key derivation mirrors the SOLO Trainer exactly (train/loop.py:120-158):
+every row shares the single ``PRNGKey(model_seed)`` chain — the reference
+runs every sweep row with the same fixed model key
+(/root/reference/model.py:29), so rows share init params and the
+z/eval-generation streams and differ only in their dataset streams
+(``fold_in(PRNGKey(dataset_seed), ...)``). A ``--seed_grid`` launch
+therefore produces the SAME run artifacts as per-process solo runs:
+bitwise on the fused TPU path (chunk PRNG seeds derive from the state
+keys, and chunk boundaries are the shared ``next_event``), and to float
+reassociation on the vmapped XLA path (verified by tests/test_grid.py).
 """
 
 from __future__ import annotations
@@ -120,6 +123,11 @@ class GridTrainer:
                 "ratios against a converged target); run the row without "
                 "--seed_grid to record it"
             )
+        if getattr(cfg, "latent_distribution", "gaussian") != "gaussian":
+            raise NotImplementedError(
+                "--seed_grid supports the gaussian latent distribution "
+                "(the CLI forces gaussian like the reference, run.py:41)"
+            )
         # cfg.resume for grid runs means "resume every row from its own
         # output dir" — run_seed_grid calls restore(outdirs) after building
         # the per-seed directories.
@@ -158,29 +166,36 @@ class GridTrainer:
         self.tx = make_adam(cfg.learning_rate)  # shared with kernels
         self.dataset_grid = stack_pytrees(self.datasets)
 
+        # Key chain identical to the solo Trainer's (train/loop.py:120-158):
+        # PRNGKey(model_seed) → vae init key → [warm-start key] → z base key
+        # → host eval/plot chain. Each solo run consumes the SAME chain (the
+        # dataset seed only drives the data streams), so one chain serves
+        # every row and grid rows start from the solo runs' exact draws.
+        base = jax.random.PRNGKey(cfg.model_seed)
+        vae_key, base = jax.random.split(base)
+        init_params = self.model.init(
+            vae_key,
+            jnp.zeros((1, data_dim)),
+            jnp.zeros((1, self.latent_dim)),
+            jnp.zeros((1, data_dim)),
+        )["params"]
+        ws_key = None
+        if cfg.warm_start:
+            ws_key, base = jax.random.split(base)
+        z_key, base = jax.random.split(base)
         states = []
         for i, seed in enumerate(seeds):
-            key = jax.random.fold_in(jax.random.PRNGKey(cfg.model_seed), seed)
-            vae_key, key = jax.random.split(key)
-            params = self.model.init(
-                vae_key,
-                jnp.zeros((1, data_dim)),
-                jnp.zeros((1, self.latent_dim)),
-                jnp.zeros((1, data_dim)),
-            )["params"]
+            params = init_params
             if cfg.warm_start:
-                ws_key, key = jax.random.split(key)
                 params = apply_warm_start(
-                    dict(params), cfg.dataset, self.datasets[i],
+                    dict(init_params), cfg.dataset, self.datasets[i],
                     self.latent_dim, cfg.latent_off_dimension, ws_key,
                 )
-            z_key, key = jax.random.split(key)
-            data_root = jax.random.PRNGKey(seed)
             states.append(
                 TrainState.create(
                     params=params, tx=self.tx,
                     model_key=z_key,
-                    data_key=jax.random.fold_in(data_root, 1),
+                    data_key=jax.random.fold_in(jax.random.PRNGKey(seed), 1),
                 )
             )
         self.state_grid = stack_pytrees(states)
@@ -190,9 +205,13 @@ class GridTrainer:
             row_sharded = NamedSharding(self.mesh, P("dp"))
             self.state_grid = jax.device_put(self.state_grid, row_sharded)
             self.dataset_grid = jax.device_put(self.dataset_grid, row_sharded)
-        # one shared host key chain drives grid evals/plots (split per
-        # event; per-seed keys derive via fold_in(key, row index))
-        self._host_key = jax.random.PRNGKey(cfg.model_seed + 1)
+        # shared host chain = the solo Trainer's self.key after init; eval
+        # data streams are per-row fold_in(PRNGKey(seed), 2) roots with a
+        # shared counter, exactly loop.py's _next_eval_data_key
+        self._host_key = base
+        self._eval_data_roots = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(s), 2) for s in seeds])
+        self._eval_counter = 0
 
         self.recorders = [StatsRecorder() for _ in seeds]
         self.current_epsilon = [cfg.epsilon] * len(seeds)
@@ -443,13 +462,13 @@ class GridTrainer:
         score_on_host = getattr(self.datasets[0], "score_on_host", False)
 
         @jax.jit
-        def eval_grid(dataset_grid, state_grid, eval_key, gen_key, epsilons):
-            def one(dataset, state, eps, idx):
-                real = dataset.sample(
-                    jax.random.fold_in(eval_key, idx), self.eval_batch_size)
-                z = sample_z(
-                    jax.random.fold_in(gen_key, idx),
-                    self.eval_batch_size, latent_dim, data_dim)
+        def eval_grid(dataset_grid, state_grid, eval_keys, gen_key, epsilons):
+            # the z draw is SHARED across rows (in_axes None): every solo
+            # run consumes the identical host chain, so its eval z is the
+            # same — only the real-data key differs per row
+            def one(dataset, state, eps, ekey, zkey):
+                real = dataset.sample(ekey, self.eval_batch_size)
+                z = sample_z(zkey, self.eval_batch_size, latent_dim, data_dim)
                 z1, z2 = split_z(z, latent_dim)
                 fake = model.apply(
                     {"params": state.params}, z1, z2, eps,
@@ -461,8 +480,8 @@ class GridTrainer:
                 score = {"_fake": fake} if score_on_host else dataset.score(fake)
                 return loss, dkl, mse, logvar_e, epsilon, score
 
-            idxs = jnp.arange(len(self.seeds))
-            return jax.vmap(one)(dataset_grid, state_grid, epsilons, idxs)
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
+                dataset_grid, state_grid, epsilons, eval_keys, gen_key)
 
         self._eval_grid = eval_grid
 
@@ -470,15 +489,41 @@ class GridTrainer:
     def _next_event(self, b: int) -> int:
         return next_event(b, self.cfg.num_batches, self.n_print, self.n_plot)
 
+    def maybe_print_banner(self):
+        """Per-row "Score for real data" banner at a fresh train start —
+        the solo engine's first eval-key consumption
+        (train/loop.py:train_distribution start); key-stream parity with
+        solo runs depends on consuming counter value 1 here."""
+        if self._eval_counter != 0:
+            return  # resumed with host state: the banner key was consumed
+        self._eval_counter += 1
+        for i, seed in enumerate(self.seeds):
+            batch = self.datasets[i].sample(
+                jax.random.fold_in(self._eval_data_roots[i],
+                                   self._eval_counter),
+                self.eval_batch_size)
+            if getattr(self.datasets[i], "score_on_host", False):
+                score = self.datasets[i].score_host(np.asarray(batch))
+            else:
+                score = jax.device_get(self.datasets[i].score(batch))
+            print(f"[seed {seed}] Score for real data: {score}", flush=True)
+
     def compute_and_write_stats(self):
-        self._host_key, k1 = jax.random.split(self._host_key)
-        self._host_key, k2 = jax.random.split(self._host_key)
+        # ONE host split + one eval-counter tick per eval event — the solo
+        # engine's exact consumption order (compute_stats: get_key() then
+        # _next_eval_data_key())
+        self._host_key, gen_key = jax.random.split(self._host_key)
+        self._eval_counter += 1
+        eval_keys = jax.vmap(
+            lambda r: jax.random.fold_in(r, self._eval_counter)
+        )(self._eval_data_roots)
         eps = jnp.asarray(
             [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
             jnp.float32,
         )
         loss, dkl, mse, logvar_e, epsilon, score = jax.device_get(
-            self._eval_grid(self.dataset_grid, self.state_grid, k1, k2, eps)
+            self._eval_grid(self.dataset_grid, self.state_grid, eval_keys,
+                            gen_key, eps)
         )
         for i, seed in enumerate(self.seeds):
             rec = self.recorders[i]
@@ -517,6 +562,7 @@ class GridTrainer:
             }, aux={
                 "recorder": self.recorders[i].to_state(),
                 "host_key": np.asarray(self._host_key),
+                "eval_counter": self._eval_counter,
                 "events_fired_at_step": events_fired,
             })
 
@@ -560,6 +606,12 @@ class GridTrainer:
                 self.recorders[i] = StatsRecorder.from_state(aux["recorder"])
                 if i == 0:
                     self._host_key = jnp.asarray(aux["host_key"])
+                    # eval stream position; pre-round-3 checkpoints lack the
+                    # field — reconstruct it as banner + one per recorded
+                    # eval (the counter's exact consumption pattern)
+                    self._eval_counter = int(aux.get(
+                        "eval_counter",
+                        1 + len(self.recorders[0].vae_losses)))
                     if aux.get("events_fired_at_step", False):
                         self._skip_events_at = steps[0]
         if len(set(steps)) != 1:
@@ -582,28 +634,30 @@ class GridTrainer:
         if getattr(self, "_plot_generate", None) is None:
             # jitted ONCE per trainer (gen_key is an argument, not a
             # closure) — a fresh jit per plot event would recompile the
-            # vmapped sampler at every plot/save cadence
+            # vmapped sampler at every plot/save cadence. The z draw is
+            # SHARED across rows: solo runs all consume the identical host
+            # chain (train/loop.py:plot_epoch's single get_key()).
             model = self.model
             latent_dim, data_dim = self.latent_dim, self.data_dim
             batch = self.eval_batch_size
 
-            def one(state, ep_i, idx, key):
-                z = sample_z(jax.random.fold_in(key, idx),
-                             batch, latent_dim, data_dim)
+            def one(state, ep_i, key):
+                z = sample_z(key, batch, latent_dim, data_dim)
                 z1, z2 = split_z(z, latent_dim)
                 return model.apply({"params": state.params}, z1, z2, ep_i,
                                    method=type(model).generate)
 
             self._plot_generate = jax.jit(
-                jax.vmap(one, in_axes=(0, 0, 0, None)))
+                jax.vmap(one, in_axes=(0, 0, None)))
 
         fakes = jax.device_get(self._plot_generate(
-            self.state_grid, eps, jnp.arange(len(self.seeds)), gen_key))
+            self.state_grid, eps, gen_key))
         for i, out in enumerate(outdirs):
             fn = os.path.join(out, f"output_{self.batchnum}.png")
             self.datasets[i].plot_batch(fakes[i], fn=fn)
 
     def train(self, outdirs):
+        self.maybe_print_banner()
         total = self.cfg.num_batches
         b = self.batchnum  # 0 fresh; the checkpoint step after restore()
         while b < total:

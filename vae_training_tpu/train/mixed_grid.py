@@ -399,6 +399,8 @@ class MixedGridSweep:
 
     def train(self, outdirs_per_group: List[List[str]]) -> None:
         groups = self.groups
+        for g in groups:
+            g.maybe_print_banner()
         total = self.cfg.num_batches
         b = groups[0].batchnum  # 0 fresh; the checkpoint step after restore
         skip_at = groups[0]._skip_events_at
