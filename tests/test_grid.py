@@ -218,6 +218,37 @@ def test_grid_rows_match_solo_run_artifacts(tmp_outdir):
                 err_msg=f"seed {s} channel {k}")
 
 
+def test_grid_banner_matches_solo_scores(tmp_outdir, capsys):
+    """The one-jitted-call banner grid reports the SAME per-seed scores the
+    solo engine's banner would (same eval-key consumption — counter value 1
+    off the fold_in(PRNGKey(seed), 2) root — and same score math), and the
+    banner fires exactly once per fresh start."""
+    seeds = [2, 3]
+    grid = GridTrainer(make_cfg(tmp_outdir, name="bn"), seeds)
+    scores = grid.maybe_print_banner()
+    txt = capsys.readouterr().out
+    assert scores is not None and len(scores) == len(seeds)
+    for i, s in enumerate(seeds):
+        assert f"[seed {s}] Score for real data:" in txt
+        cfg = make_cfg(tmp_outdir, name=f"bn_s{s}", dataset_seed=s)
+        out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+        solo = Trainer(cfg, get_dataset(cfg.dataset, s, cfg), out)
+        batch = solo.dataset.sample(
+            solo._next_eval_data_key(), solo.eval_batch_size)
+        if getattr(solo.dataset, "score_on_host", False):
+            expected = solo.dataset.score_host(np.asarray(batch))
+        else:
+            expected = jax.device_get(solo.fns.score(batch))
+        assert set(scores[i]) == set(expected)
+        for k in expected:
+            np.testing.assert_allclose(
+                np.asarray(scores[i][k]), np.asarray(expected[k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"seed {s} channel {k}")
+    # a second call (or a resumed start) must not re-consume the eval key
+    assert grid.maybe_print_banner() is None
+    assert grid._eval_counter == 1
+
+
 def test_grid_states_equal_solo_trainer_states(tmp_outdir):
     """The key-derivation parity itself, asserted EXACTLY: grid row i's
     initial params / model_key / data_key and the host eval chain equal the

@@ -31,6 +31,33 @@ def _dot_precision(fp32_dots: bool):
     return jax.lax.Precision.HIGHEST if fp32_dots else None
 
 
+def _normal_mat(key, rows: int, cols: int) -> jax.Array:
+    """Construction-time N(0,1) matrix draw. Runs inside
+    ``_on_construction_device()`` (host CPU backend), where eager
+    execution is local and cheap — deliberately NOT jitted: a jitted CPU
+    program would land in the shared persistent compile cache alongside
+    remote-compiled entries, and loading a CPU executable compiled on a
+    different machine type risks SIGILL (observed as an XLA:CPU AOT
+    feature-mismatch warning)."""
+    return jax.random.normal(key, (rows, cols))
+
+
+def _on_construction_device():
+    """Construction randomness (the mixing matrices ``A``) runs on the
+    host CPU backend: zero tunnel compiles and — critically — zero device
+    syncs (the linear rank-check fetch was the sweep's ONLY construction
+    sync, and a single sync absorbs whatever multi-minute stall the
+    remote service is in). A is not bit-pinned across backends by design
+    (module docstring); every consumer (solo, grid, kernels) shares this
+    construction path, so backend-internal parity is unaffected."""
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()  # no CPU backend: default device
+
+
 class SphereDataset(DistributionDataset):
     """Uniform samples on S^{dim-1}, zero-padded to ambient dimension.
 
@@ -151,17 +178,18 @@ class LinearGaussianDataset(DistributionDataset):
         var_added: float = 0.0,
         fp32_dots: bool = False,
     ) -> "LinearGaussianDataset":
-        key = jax.random.PRNGKey(seed)
         # Resample until full rank — behavioral port of the reference's
         # construction loop (/root/reference/datasets.py:171-180). The rank
         # check runs on the HOST (numpy SVD): this is one-time setup math,
         # and SVD-family ops are not reliably supported on all TPU runtimes.
         target_rank = min(dimension, intrinsic_dimension)
-        while True:
-            key, mat_key = jax.random.split(key)
-            mat = jax.random.normal(mat_key, (dimension, intrinsic_dimension))
-            if int(np.linalg.matrix_rank(np.asarray(mat))) == target_rank:
-                break
+        with _on_construction_device():
+            key = jax.random.PRNGKey(seed)
+            while True:
+                key, mat_key = jax.random.split(key)
+                mat = _normal_mat(mat_key, dimension, intrinsic_dimension)
+                if int(np.linalg.matrix_rank(np.asarray(mat))) == target_rank:
+                    break
         return cls(
             A=mat,
             dim=dimension,
@@ -214,9 +242,10 @@ class SigmoidDataset(DistributionDataset):
         cls, seed: int, dimension: int = 3, padding_dimension: int = 0,
         fp32_dots: bool = False,
     ) -> "SigmoidDataset":
-        key = jax.random.PRNGKey(seed)
-        _, mat_key = jax.random.split(key)
-        mat = jax.random.normal(mat_key, (dimension, 1))
+        with _on_construction_device():
+            key = jax.random.PRNGKey(seed)
+            _, mat_key = jax.random.split(key)
+            mat = _normal_mat(mat_key, dimension, 1)
         return cls(A=mat, dim=dimension, padding_dim=padding_dimension,
                    fp32_dots=fp32_dots)
 

@@ -59,6 +59,19 @@ def chunk_seed_and_t0(state: "TrainState") -> jax.Array:
     return jnp.stack([seed, t0])
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _sigmoid_a_t_rows(A, dim: int, size: int):
+    def one(a):
+        return jnp.zeros((size, size), jnp.float32).at[:dim, dim].set(a[:, 0])
+
+    return jax.vmap(one)(A)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _linear_a_t_rows(A, size: int):
+    return jax.vmap(lambda a: _pack_mat((size, size), a.T))(A)
+
+
 def manifold_rows(datasets, size: int = N):
     """Stacked per-row manifold matrices + kernel dataset metadata for a
     grid launch: ``(dataset_kind, var_added, intrinsic_dim, a_t)``.
@@ -67,7 +80,10 @@ def manifold_rows(datasets, size: int = N):
     A.T rows; sigmoid → A's column at [:, dim] so the matmul lands the
     σ-logit in the σ-coordinate column; sphere → unused zeros), shared by
     every grid/mixed launch path. Callers gate kernel eligibility via
-    pallas_supported/mlp_pallas_supported first."""
+    pallas_supported/mlp_pallas_supported first. Packing is jitted per
+    GROUP shape (one compiled call per row group), not eager per dataset —
+    eager per-dataset `.at[].set` chains cost a remote compile per
+    primitive on the tunnel runtime and dominated sweep startup."""
     from ..data.synthetic import SigmoidDataset, SphereDataset
 
     d0 = datasets[0]
@@ -75,14 +91,10 @@ def manifold_rows(datasets, size: int = N):
         a_t = jnp.zeros((len(datasets), size, size), jnp.float32)
         return "sphere", 0.0, d0.dim, a_t
     if isinstance(d0, SigmoidDataset):
-        a_t = jnp.stack([
-            jnp.zeros((size, size), jnp.float32)
-            .at[: d.dim, d.dim].set(d.A[:, 0])
-            for d in datasets
-        ])
-        return "sigmoid", 0.0, d0.dim, a_t
-    a_t = jnp.stack([_pack_mat((size, size), d.A.T) for d in datasets])
-    return "linear", d0.var_added, d0.intrinsic_dim, a_t
+        A = jnp.stack([d.A for d in datasets])
+        return "sigmoid", 0.0, d0.dim, _sigmoid_a_t_rows(A, d0.dim, size)
+    A = jnp.stack([d.A for d in datasets])
+    return "linear", d0.var_added, d0.intrinsic_dim, _linear_a_t_rows(A, size)
 
 
 def grid_seed_rows(state_grid, data_dims, latent_dims, intrinsic_dims):

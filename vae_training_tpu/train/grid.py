@@ -173,32 +173,67 @@ class GridTrainer:
         # every row and grid rows start from the solo runs' exact draws.
         base = jax.random.PRNGKey(cfg.model_seed)
         vae_key, base = jax.random.split(base)
-        init_params = self.model.init(
-            vae_key,
-            jnp.zeros((1, data_dim)),
-            jnp.zeros((1, self.latent_dim)),
-            jnp.zeros((1, data_dim)),
-        )["params"]
         ws_key = None
         if cfg.warm_start:
             ws_key, base = jax.random.split(base)
         z_key, base = jax.random.split(base)
-        states = []
-        for i, seed in enumerate(seeds):
-            params = init_params
-            if cfg.warm_start:
+        seeds_arr = jnp.asarray(list(seeds), jnp.uint32)
+
+        if cfg.warm_start:
+            # warm starts are per-seed analytic inits (dataset-dependent
+            # host math) — build per seed, then stack
+            init_params = self.model.init(
+                vae_key,
+                jnp.zeros((1, data_dim)),
+                jnp.zeros((1, self.latent_dim)),
+                jnp.zeros((1, data_dim)),
+            )["params"]
+            states = []
+            for i, seed in enumerate(seeds):
                 params = apply_warm_start(
                     dict(init_params), cfg.dataset, self.datasets[i],
                     self.latent_dim, cfg.latent_off_dimension, ws_key,
                 )
-            states.append(
-                TrainState.create(
-                    params=params, tx=self.tx,
-                    model_key=z_key,
-                    data_key=jax.random.fold_in(jax.random.PRNGKey(seed), 1),
+                states.append(
+                    TrainState.create(
+                        params=params, tx=self.tx,
+                        model_key=z_key,
+                        data_key=jax.random.fold_in(
+                            jax.random.PRNGKey(seed), 1),
+                    )
                 )
-            )
-        self.state_grid = stack_pytrees(states)
+            self.state_grid = stack_pytrees(states)
+        else:
+            # Every row starts from the SAME init draws (the model-key
+            # chain is seed-independent — solo parity), so the whole grid
+            # state is ONE compiled program: init params once, vmap the
+            # per-seed state creation (params/moments broadcast, data keys
+            # fold_in per seed). Building this eagerly per seed queued
+            # hundreds of small dispatches — on the remote-tunnel runtime
+            # that cost MINUTES of sweep startup, silently absorbed by the
+            # first device_get (block_until_ready returns early there, so
+            # the per-init timings looked innocent).
+            model, tx, latent_dim = self.model, self.tx, self.latent_dim
+
+            @jax.jit
+            def make_state_grid(vae_key, z_key, seeds_arr):
+                init_params = model.init(
+                    vae_key,
+                    jnp.zeros((1, data_dim)),
+                    jnp.zeros((1, latent_dim)),
+                    jnp.zeros((1, data_dim)),
+                )["params"]
+
+                def one(seed):
+                    return TrainState.create(
+                        params=init_params, tx=tx, model_key=z_key,
+                        data_key=jax.random.fold_in(
+                            jax.random.PRNGKey(seed), 1),
+                    )
+
+                return jax.vmap(one)(seeds_arr)
+
+            self.state_grid = make_state_grid(vae_key, z_key, seeds_arr)
         if self.mesh is not None:
             # seed axis sharded over dp: each device owns its rows, zero
             # cross-device traffic in the training chunk
@@ -209,8 +244,9 @@ class GridTrainer:
         # data streams are per-row fold_in(PRNGKey(seed), 2) roots with a
         # shared counter, exactly loop.py's _next_eval_data_key
         self._host_key = base
-        self._eval_data_roots = jnp.stack(
-            [jax.random.fold_in(jax.random.PRNGKey(s), 2) for s in seeds])
+        self._eval_data_roots = jax.jit(
+            jax.vmap(lambda s: jax.random.fold_in(jax.random.PRNGKey(s), 2))
+        )(seeds_arr)
         self._eval_counter = 0
 
         self.recorders = [StatsRecorder() for _ in seeds]
@@ -485,6 +521,19 @@ class GridTrainer:
 
         self._eval_grid = eval_grid
 
+        @jax.jit
+        def banner_grid(dataset_grid, keys):
+            # the start-of-run "Score for real data" banner for every seed
+            # in ONE compiled call — the per-seed eager version cost a
+            # fresh remote compile per primitive per group
+            def one(dataset, k):
+                batch = dataset.sample(k, self.eval_batch_size)
+                return {"_batch": batch} if score_on_host \
+                    else dataset.score(batch)
+            return jax.vmap(one)(dataset_grid, keys)
+
+        self._banner_grid = banner_grid
+
     # ------------------------------------------------------------------
     def _next_event(self, b: int) -> int:
         return next_event(b, self.cfg.num_batches, self.n_print, self.n_plot)
@@ -495,18 +544,22 @@ class GridTrainer:
         (train/loop.py:train_distribution start); key-stream parity with
         solo runs depends on consuming counter value 1 here."""
         if self._eval_counter != 0:
-            return  # resumed with host state: the banner key was consumed
+            return None  # resumed with host state: the banner key was consumed
         self._eval_counter += 1
+        keys = jax.vmap(
+            lambda r: jax.random.fold_in(r, self._eval_counter)
+        )(self._eval_data_roots)
+        out = jax.device_get(self._banner_grid(self.dataset_grid, keys))
+        scores = []
         for i, seed in enumerate(self.seeds):
-            batch = self.datasets[i].sample(
-                jax.random.fold_in(self._eval_data_roots[i],
-                                   self._eval_counter),
-                self.eval_batch_size)
-            if getattr(self.datasets[i], "score_on_host", False):
-                score = self.datasets[i].score_host(np.asarray(batch))
+            if "_batch" in out:
+                score = self.datasets[i].score_host(np.asarray(out["_batch"][i]))
             else:
-                score = jax.device_get(self.datasets[i].score(batch))
+                # 0-d np arrays: the solo banner's exact console repr
+                score = {k: np.asarray(v[i]) for k, v in out.items()}
             print(f"[seed {seed}] Score for real data: {score}", flush=True)
+            scores.append(score)
+        return scores
 
     def compute_and_write_stats(self):
         # ONE host split + one eval-counter tick per eval event — the solo

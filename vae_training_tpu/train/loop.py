@@ -124,7 +124,11 @@ class Trainer:
         dummy_x = jnp.zeros((1, data_dim))
         dummy_z1 = jnp.zeros((1, self.latent_dim))
         dummy_z2 = jnp.zeros((1, data_dim))
-        variables = self.model.init(vae_key, dummy_x, dummy_z1, dummy_z2)
+        # jitted: one compiled program instead of dozens of eagerly
+        # dispatched init ops (remote-compile latency makes eager init
+        # cost seconds per op on the tunnel runtime)
+        variables = jax.jit(self.model.init)(
+            vae_key, dummy_x, dummy_z1, dummy_z2)
         params = variables["params"]
 
         if cfg.warm_start:

@@ -398,24 +398,37 @@ class MixedGridSweep:
             )
 
     def train(self, outdirs_per_group: List[List[str]]) -> None:
+        import time
+
         groups = self.groups
+        t0 = time.perf_counter()
         for g in groups:
             g.maybe_print_banner()
+        t_banner = time.perf_counter() - t0
         total = self.cfg.num_batches
         b = groups[0].batchnum  # 0 fresh; the checkpoint step after restore
         skip_at = groups[0]._skip_events_at
+        # wall-clock accounting: where a one-launch sweep actually spends
+        # time (train chunks vs stat evals vs plot/save) — printed once at
+        # the end so sweep wall times are attributable, not guessed at.
+        acct = {"chunk": 0.0, "stats": 0.0, "plot_save": 0.0}
         while b < total:
             for g in groups:
                 g.batchnum = b
             if b % groups[0].n_print == 0 and b != skip_at:
+                t0 = time.perf_counter()
                 for g in groups:
                     g.compute_and_write_stats()
+                acct["stats"] += time.perf_counter() - t0
             if (b % groups[0].n_plot == 0 or b == total - 1) and b != skip_at:
+                t0 = time.perf_counter()
                 for g, outs in zip(groups, outdirs_per_group):
                     g.plot_all(outs)
                     g.save_all(outs)
+                acct["plot_save"] += time.perf_counter() - t0
             nxt = groups[0]._next_event(b)
             n = nxt - b
+            t0 = time.perf_counter()
             state_grids = tuple(g.state_grid for g in groups)
             new_grids, loss_rows = self._train_chunk(state_grids, n)
             for g, ng, lg in zip(groups, new_grids, loss_rows):
@@ -423,9 +436,18 @@ class MixedGridSweep:
                 lg = jax.device_get(lg)
                 for i in range(len(g.seeds)):
                     g.recorders[i].append_train_losses(lg[i])
+            acct["chunk"] += time.perf_counter() - t0
             b += n
         for g in groups:
             g.batchnum = max(total - 1, 0)
+        n_rows = sum(len(g.seeds) for g in groups)
+        print(
+            f"[sweep] wall accounting: banners {t_banner:.1f}s (absorbs "
+            f"queued setup work), train chunks {acct['chunk']:.1f}s "
+            f"(incl. first-call compile), stat evals {acct['stats']:.1f}s, "
+            f"plot+save {acct['plot_save']:.1f}s over {n_rows} rows",
+            flush=True,
+        )
 
 
 def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
@@ -442,11 +464,15 @@ def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
     launches. Any other exception (including mid-training ValueErrors)
     propagates.
     """
+    import time
+
     from ..runio.outdir import make_output_dir
 
+    t0 = time.perf_counter()
     groups = [GridTrainer(cfg, seeds) for cfg, seeds, _ in rows]
     # raises if ineligible — before any IO
     sweep = MixedGridSweep(groups, mesh_spec=mesh_spec)
+    t_build = time.perf_counter() - t0
     outdirs_per_group = []
     for cfg, seeds, names in rows:
         outs = []
@@ -460,6 +486,9 @@ def run_mixed_sweep(rows: List[Tuple[RunConfig, Sequence[int], dict]],
     if resume:
         sweep.restore(outdirs_per_group)
     sweep.train(outdirs_per_group)
+    t0 = time.perf_counter()
     for g, outs in zip(groups, outdirs_per_group):
         g.save_all(outs, final=True)
+    print(f"[sweep] wall accounting: setup {t_build:.1f}s, "
+          f"final saves {time.perf_counter() - t0:.1f}s", flush=True)
     return 0
