@@ -218,6 +218,68 @@ def test_grid_rows_match_solo_run_artifacts(tmp_outdir):
                 err_msg=f"seed {s} channel {k}")
 
 
+def test_grid_resume_reconstructs_eval_counter_without_field(tmp_outdir):
+    """Pre-round-3 checkpoints lack the aux 'eval_counter' field; the
+    fallback must reconstruct banner + one per recorded EVAL. Counting
+    vae_losses would overshoot — it interleaves train-chunk entries with
+    the eval scalars (evals/stats.py:33) — and every post-resume eval key
+    would diverge from an uninterrupted run's."""
+    import pickle
+
+    from vae_training_tpu.runio.outdir import make_output_dir as mko
+
+    seeds = [2, 3]
+    cfg = make_cfg(tmp_outdir, num_batches=400, n_print=100, n_plot=200)
+    trainer = GridTrainer(cfg, seeds)
+    outdirs = [mko(f"grid_seed{s}", True, cfg, data_dir=tmp_outdir)
+               for s in seeds]
+    trainer.train(outdirs)
+    true_counter = trainer._eval_counter
+    assert true_counter == 1 + len(trainer.recorders[0].var_enc)
+
+    for out in outdirs:
+        p = os.path.join(out, "ckpt_aux.pkl")
+        with open(p, "rb") as f:
+            aux = pickle.load(f)
+        del aux["eval_counter"]
+        with open(p, "wb") as f:
+            pickle.dump(aux, f)
+
+    cfg.resume = "rows"
+    resumed = GridTrainer(cfg, seeds)
+    resumed.restore(outdirs)
+    # the last in-loop save (b=399 plot event) saw the banner(1) + evals
+    # at 0/100/200/300 (counters 2-5); vae_losses-based reconstruction
+    # would have returned 9 (4 train chunks interleaved)
+    assert resumed._eval_counter == true_counter == 5
+    assert len(resumed.recorders[0].var_enc) == 4
+    assert len(resumed.recorders[0].vae_losses) > 5  # would overcount
+
+
+def test_grid_warm_start_states_equal_solo(tmp_outdir):
+    """Warm-started grid rows carry the solo Trainer's exact warm-start
+    params: the jitted one-program construction (host pinv precomputed per
+    row, surgery + state assembly vmapped) must reproduce the solo path's
+    eager apply_warm_start draws for every seed."""
+    seeds = [2, 3]
+    kw = dict(warm_start=True, latent_off_dimension=1,
+              latent_dimension=6, padding_dim=3, dataset_dimension=3)
+    grid = GridTrainer(make_cfg(tmp_outdir, name="ws", **kw), seeds)
+    for i, s in enumerate(seeds):
+        cfg = make_cfg(tmp_outdir, name=f"ws_s{s}", dataset_seed=s, **kw)
+        out = make_output_dir(cfg.name, True, cfg, data_dir=tmp_outdir)
+        solo = Trainer(cfg, get_dataset(cfg.dataset, s, cfg), out)
+        flat_solo = {jax.tree_util.keystr(p): v for p, v in
+                     jax.tree_util.tree_leaves_with_path(solo.state.params)}
+        row_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[i], grid.state_grid.params)
+        for path, val in jax.tree_util.tree_leaves_with_path(row_params):
+            np.testing.assert_allclose(
+                val, np.asarray(flat_solo[jax.tree_util.keystr(path)]),
+                rtol=1e-6, atol=1e-7,
+                err_msg=f"seed {s} {jax.tree_util.keystr(path)}")
+
+
 def test_grid_banner_matches_solo_scores(tmp_outdir, capsys):
     """The one-jitted-call banner grid reports the SAME per-seed scores the
     solo engine's banner would (same eval-key consumption — counter value 1

@@ -211,6 +211,16 @@ def test_from_npz_pixel_range_explicit_and_metadata(tmp_path):
     np.testing.assert_allclose(np.asarray(ds.images)[..., 0],
                                binarized * 2.0 - 1.0, atol=1e-6)
 
+    # integer corpus WITH negatives (e.g. ternary {-1,0,1}) already carries
+    # [-1,1] semantics — must pass through, not get remapped to [-3,1]
+    p5 = str(tmp_path / "e.npz")
+    ternary = np.random.RandomState(2).choice(
+        np.array([-1, 0, 1], np.int8), size=(4, 8, 8))
+    np.savez(p5, images=ternary)
+    ds = ImageDataset.from_npz(p5)
+    np.testing.assert_allclose(np.asarray(ds.images)[..., 0],
+                               ternary.astype(np.float32), atol=1e-6)
+
     with pytest.raises(ValueError, match="pixel_range"):
         ImageDataset.from_npz(p1, pixel_range="bogus")
 

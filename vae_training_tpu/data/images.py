@@ -87,16 +87,15 @@ class ImageDataset(struct.PyTreeNode):
           - ``"auto"`` (default): honor a ``pixel_range`` metadata array in
             the npz if present, else fall back to the heuristic below.
         Heuristic (each auto decision is announced on stderr — the range
-        can't be inferred with certainty): integer dtype with values > 1
-        or float max > 1.5 ⇒ 0..255; integer {0, 1} (binarized) or
-        all-nonnegative floats ⇒ [0, 1] like from_folder; any negative
-        value ⇒ [-1, 1].
+        can't be inferred with certainty): max > 1.5 ⇒ 0..255;
+        all-nonnegative (incl. integer {0, 1} binarized corpora) ⇒ [0, 1]
+        like from_folder; any negative value ⇒ already [-1, 1], pass
+        through unchanged.
         """
         import sys
 
         data = np.load(path)
         raw = data[key]
-        is_integer = np.issubdtype(raw.dtype, np.integer)
         arr = raw.astype(np.float32)
         if arr.ndim == 3:
             arr = arr[..., None]
@@ -109,10 +108,12 @@ class ImageDataset(struct.PyTreeNode):
                 print(f"[images] {path}: detected 0..255 range, remapping "
                       f"to [-1, 1] (x/127.5 - 1); pass pixel_range "
                       f"explicitly to override", file=sys.stderr, flush=True)
-            elif is_integer or arr.min() >= 0.0:
+            elif arr.min() >= 0.0:
                 # integer {0,1} = binarized corpus → {-1,+1}, same as
                 # nonnegative floats; NOT 0..255 (that would flatten it
-                # to a near-constant ~-1 corpus)
+                # to a near-constant ~-1 corpus). Anything with negative
+                # values (integer or float) already carries [-1,1]
+                # semantics and must pass through untouched.
                 pixel_range = "0_1"
                 print(f"[images] {path}: all-nonnegative values — assuming "
                       f"[0, 1] and remapping to [-1, 1] (x*2 - 1); if the "

@@ -65,6 +65,7 @@ def warm_start_linear_gaussian(
     latent_dim: int,
     latent_off_dimension: int,
     key: jax.Array,
+    pinv=None,
 ) -> dict:
     """Decoder ← [A | extra | 0] (plus padding rows), encoder ← pinv(A).
 
@@ -100,7 +101,11 @@ def warm_start_linear_gaussian(
     dec_const = dec_const + 0.01 * jax.random.normal(k_dec, (data_dim, latent_dim))
 
     # Host-side pinv: one-time init math; TPU SVD support is unreliable.
-    enc_const = jnp.asarray(np.linalg.pinv(np.asarray(A)))  # (intrinsic, dim)
+    # Jitted callers (the grid trainer) precompute it per row and pass it
+    # in, since np.asarray(A) on a traced A is impossible.
+    if pinv is None:
+        pinv = np.linalg.pinv(np.asarray(A))
+    enc_const = jnp.asarray(pinv)  # (intrinsic, dim)
     enc_zero_rows = jnp.zeros((latent_dim - intrinsic, dataset.dim))
     enc_zero_cols = jnp.zeros((latent_dim, data_dim - dataset.dim))
     enc_const = jnp.concatenate([enc_const, enc_zero_rows], axis=0)
@@ -134,11 +139,12 @@ def apply_warm_start(
     latent_dim: int,
     latent_off_dimension: int,
     key: jax.Array,
+    pinv=None,
 ) -> dict:
     if dataset_name == "sigmoid":
         return warm_start_sigmoid(params, dataset, latent_dim, key)
     if dataset_name == "linear_gaussian":
         return warm_start_linear_gaussian(
-            params, dataset, latent_dim, latent_off_dimension, key
+            params, dataset, latent_dim, latent_off_dimension, key, pinv=pinv
         )
     return params

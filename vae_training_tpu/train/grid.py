@@ -180,29 +180,49 @@ class GridTrainer:
         seeds_arr = jnp.asarray(list(seeds), jnp.uint32)
 
         if cfg.warm_start:
-            # warm starts are per-seed analytic inits (dataset-dependent
-            # host math) — build per seed, then stack
-            init_params = self.model.init(
-                vae_key,
-                jnp.zeros((1, data_dim)),
-                jnp.zeros((1, self.latent_dim)),
-                jnp.zeros((1, data_dim)),
-            )["params"]
-            states = []
-            for i, seed in enumerate(seeds):
-                params = apply_warm_start(
-                    dict(init_params), cfg.dataset, self.datasets[i],
-                    self.latent_dim, cfg.latent_off_dimension, ws_key,
-                )
-                states.append(
-                    TrainState.create(
-                        params=params, tx=self.tx,
-                        model_key=z_key,
+            # Warm starts are per-row analytic inits over each row's
+            # manifold. Only the linear family's pinv(A) is genuinely host
+            # math (SVD is unreliable on this TPU runtime) — precompute it
+            # per row from the host-resident A; the init draws, warm-start
+            # surgery, and state assembly run as ONE jitted program (the
+            # eager per-seed version was the same remote-compile startup
+            # pathology the non-warm branch below documents).
+            model, tx, latent_dim = self.model, self.tx, self.latent_dim
+            dataset_name = cfg.dataset
+            lod = cfg.latent_off_dimension
+            pinv_stack = None
+            if dataset_name == "linear_gaussian":
+                pinv_stack = jnp.asarray(np.stack([
+                    np.linalg.pinv(np.asarray(d.A)) for d in self.datasets]))
+
+            @jax.jit
+            def make_ws_state_grid(vae_key, ws_key, z_key, seeds_arr,
+                                   dataset_grid, pinv_stack):
+                init_params = model.init(
+                    vae_key,
+                    jnp.zeros((1, data_dim)),
+                    jnp.zeros((1, latent_dim)),
+                    jnp.zeros((1, data_dim)),
+                )["params"]
+
+                def one(seed, dataset, pinv):
+                    params = apply_warm_start(
+                        dict(init_params), dataset_name, dataset,
+                        latent_dim, lod, ws_key, pinv=pinv,
+                    )
+                    return TrainState.create(
+                        params=params, tx=tx, model_key=z_key,
                         data_key=jax.random.fold_in(
                             jax.random.PRNGKey(seed), 1),
                     )
-                )
-            self.state_grid = stack_pytrees(states)
+
+                return jax.vmap(
+                    one, in_axes=(0, 0, None if pinv_stack is None else 0)
+                )(seeds_arr, dataset_grid, pinv_stack)
+
+            self.state_grid = make_ws_state_grid(
+                vae_key, ws_key, z_key, seeds_arr, self.dataset_grid,
+                pinv_stack)
         else:
             # Every row starts from the SAME init draws (the model-key
             # chain is seed-independent — solo parity), so the whole grid
@@ -661,10 +681,12 @@ class GridTrainer:
                     self._host_key = jnp.asarray(aux["host_key"])
                     # eval stream position; pre-round-3 checkpoints lack the
                     # field — reconstruct it as banner + one per recorded
-                    # eval (the counter's exact consumption pattern)
+                    # eval (var_enc gains exactly one entry per eval;
+                    # vae_losses would overcount — it interleaves train
+                    # chunks with eval scalars)
                     self._eval_counter = int(aux.get(
                         "eval_counter",
-                        1 + len(self.recorders[0].vae_losses)))
+                        1 + len(self.recorders[0].var_enc)))
                     if aux.get("events_fired_at_step", False):
                         self._skip_events_at = steps[0]
         if len(set(steps)) != 1:
