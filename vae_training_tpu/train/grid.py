@@ -48,6 +48,7 @@ from ..evals.stats import StatsRecorder
 from ..models.networks import build_vae
 from ..models.warm_start import apply_warm_start
 from ..ops.elbo import elbo_terms
+from ..runio.background import get_artifact_writer
 from ..runio.checkpoint import save_checkpoint
 from ..runio.export import save_model_pkl
 from ..runio.outdir import make_output_dir
@@ -619,25 +620,45 @@ class GridTrainer:
         # (batchnum == step); the end-of-run save happens after the loop
         # (batchnum == total-1, step == total).
         events_fired = self.batchnum == int(np.asarray(states.step).reshape(-1)[0])
+        # Everything below is pure host IO (~175 ms/row: checkpoint
+        # serialize + model.pkl + losses.npz) — enqueued on the artifact
+        # writer so it overlaps the next train chunks. All mutable inputs
+        # are snapshotted HERE, at submit time: the recorder via to_state()
+        # (training keeps appending while the write is in flight), the
+        # host key / eval counter as plain values, and state_i is an
+        # already-fetched immutable host pytree. FIFO order keeps the
+        # per-dir npz → pkl → checkpoint sequence and the checkpoint
+        # step-ordering guard intact.
+        writer = get_artifact_writer()
         for i, out in enumerate(outdirs):
             take = lambda x: x[i]
             state_i = jax.tree_util.tree_map(take, states)
-            self.recorders[i].save_npz(out, final=final)
-            save_model_pkl(os.path.join(out, "model.pkl"), state_i.params,
-                           state_i.opt_state)
-            # per-seed full checkpoint + host-side run state: the whole grid
-            # resumes with --resume (artifacts identical to an uninterrupted
-            # sweep), and any row can still be resumed solo with
-            # --resume <name>_seed<N>
-            save_checkpoint(out, state_i, extra_meta={
-                "current_epsilon": float(
-                    np.asarray(self.current_epsilon[i]).reshape(-1)[0])
-            }, aux={
-                "recorder": self.recorders[i].to_state(),
+            rec_state = self.recorders[i].to_state()
+            extra_meta = {"current_epsilon": float(
+                np.asarray(self.current_epsilon[i]).reshape(-1)[0])}
+            aux = {
+                "recorder": rec_state,
                 "host_key": np.asarray(self._host_key),
                 "eval_counter": self._eval_counter,
                 "events_fired_at_step": events_fired,
-            })
+            }
+
+            def write_row(out=out, state_i=state_i, rec_state=rec_state,
+                          extra_meta=extra_meta, aux=aux, final=final):
+                StatsRecorder.from_state(rec_state).save_npz(out, final=final)
+                save_model_pkl(os.path.join(out, "model.pkl"), state_i.params,
+                               state_i.opt_state)
+                # per-seed full checkpoint + host-side run state: the whole
+                # grid resumes with --resume (artifacts identical to an
+                # uninterrupted sweep), and any row can still be resumed
+                # solo with --resume <name>_seed<N>
+                save_checkpoint(out, state_i, extra_meta=extra_meta, aux=aux)
+
+            writer.submit(write_row)
+        if final:
+            # "save_all(final=True) returned" must mean durable artifacts
+            # (run_seed_grid / run_mixed_sweep end on it)
+            writer.drain()
 
     def restore(self, outdirs) -> None:
         """Resume the whole grid from each row's own checkpoint (written by
@@ -727,30 +748,43 @@ class GridTrainer:
 
         fakes = jax.device_get(self._plot_generate(
             self.state_grid, eps, gen_key))
+        # ~140 ms of matplotlib per row — off the critical path. ALL figure
+        # writing during a grid run rides the single artifact-writer thread
+        # (pyplot is not multi-thread-safe); `fakes` is host data by now.
+        writer = get_artifact_writer()
         for i, out in enumerate(outdirs):
             fn = os.path.join(out, f"output_{self.batchnum}.png")
-            self.datasets[i].plot_batch(fakes[i], fn=fn)
+            writer.submit(partial(self.datasets[i].plot_batch, fakes[i], fn=fn))
 
     def train(self, outdirs):
-        self.maybe_print_banner()
-        total = self.cfg.num_batches
-        b = self.batchnum  # 0 fresh; the checkpoint step after restore()
-        while b < total:
-            self.batchnum = b
-            if b % self.n_print == 0 and b != self._skip_events_at:
-                self.compute_and_write_stats()
-            if (b % self.n_plot == 0 or b == total - 1) \
-                    and b != self._skip_events_at:
-                self.plot_all(outdirs)
-                self.save_all(outdirs)
-            n = self._next_event(b) - b
-            self.state_grid, losses = self._train_chunk(
-                self.dataset_grid, self.state_grid, n)
-            losses = jax.device_get(losses)  # (n_seeds, n)
-            for i in range(len(self.seeds)):
-                self.recorders[i].append_train_losses(losses[i])
-            b += n
-        self.batchnum = max(total - 1, 0)
+        try:
+            self.maybe_print_banner()
+            total = self.cfg.num_batches
+            b = self.batchnum  # 0 fresh; the checkpoint step after restore()
+            while b < total:
+                self.batchnum = b
+                if b % self.n_print == 0 and b != self._skip_events_at:
+                    self.compute_and_write_stats()
+                if (b % self.n_plot == 0 or b == total - 1) \
+                        and b != self._skip_events_at:
+                    self.plot_all(outdirs)
+                    self.save_all(outdirs)
+                n = self._next_event(b) - b
+                self.state_grid, losses = self._train_chunk(
+                    self.dataset_grid, self.state_grid, n)
+                losses = jax.device_get(losses)  # (n_seeds, n)
+                for i in range(len(self.seeds)):
+                    self.recorders[i].append_train_losses(losses[i])
+                b += n
+            self.batchnum = max(total - 1, 0)
+        except BaseException:
+            # flush pending artifact writes (the last durable checkpoint a
+            # supervised retry resumes from) without masking the training
+            # error
+            get_artifact_writer().drain_quietly()
+            raise
+        # train() returned ⇒ every in-loop artifact is on disk
+        get_artifact_writer().drain()
 
 
 def run_seed_grid(cfg: RunConfig, seeds: Sequence[int], name_fn=None) -> int:

@@ -412,40 +412,54 @@ class MixedGridSweep:
         # time (train chunks vs stat evals vs plot/save) — printed once at
         # the end so sweep wall times are attributable, not guessed at.
         acct = {"chunk": 0.0, "stats": 0.0, "plot_save": 0.0}
-        while b < total:
-            for g in groups:
-                g.batchnum = b
-            if b % groups[0].n_print == 0 and b != skip_at:
-                t0 = time.perf_counter()
+        try:
+            while b < total:
                 for g in groups:
-                    g.compute_and_write_stats()
-                acct["stats"] += time.perf_counter() - t0
-            if (b % groups[0].n_plot == 0 or b == total - 1) and b != skip_at:
+                    g.batchnum = b
+                if b % groups[0].n_print == 0 and b != skip_at:
+                    t0 = time.perf_counter()
+                    for g in groups:
+                        g.compute_and_write_stats()
+                    acct["stats"] += time.perf_counter() - t0
+                if (b % groups[0].n_plot == 0 or b == total - 1) and b != skip_at:
+                    t0 = time.perf_counter()
+                    for g, outs in zip(groups, outdirs_per_group):
+                        g.plot_all(outs)
+                        g.save_all(outs)
+                    acct["plot_save"] += time.perf_counter() - t0
+                nxt = groups[0]._next_event(b)
+                n = nxt - b
                 t0 = time.perf_counter()
-                for g, outs in zip(groups, outdirs_per_group):
-                    g.plot_all(outs)
-                    g.save_all(outs)
-                acct["plot_save"] += time.perf_counter() - t0
-            nxt = groups[0]._next_event(b)
-            n = nxt - b
-            t0 = time.perf_counter()
-            state_grids = tuple(g.state_grid for g in groups)
-            new_grids, loss_rows = self._train_chunk(state_grids, n)
-            for g, ng, lg in zip(groups, new_grids, loss_rows):
-                g.state_grid = ng
-                lg = jax.device_get(lg)
-                for i in range(len(g.seeds)):
-                    g.recorders[i].append_train_losses(lg[i])
-            acct["chunk"] += time.perf_counter() - t0
-            b += n
+                state_grids = tuple(g.state_grid for g in groups)
+                new_grids, loss_rows = self._train_chunk(state_grids, n)
+                for g, ng, lg in zip(groups, new_grids, loss_rows):
+                    g.state_grid = ng
+                    lg = jax.device_get(lg)
+                    for i in range(len(g.seeds)):
+                        g.recorders[i].append_train_losses(lg[i])
+                acct["chunk"] += time.perf_counter() - t0
+                b += n
+        except BaseException:
+            # flush the last durable checkpoints without masking the error
+            from ..runio.background import get_artifact_writer
+            get_artifact_writer().drain_quietly()
+            raise
         for g in groups:
             g.batchnum = max(total - 1, 0)
+        # in-loop plot/save IO rides the artifact-writer thread (grid.py's
+        # plot_all/save_all enqueue); flush it so "train returned" keeps
+        # meaning "artifacts durable", and account the exposed tail
+        t0 = time.perf_counter()
+        from ..runio.background import get_artifact_writer
+        get_artifact_writer().drain()
+        acct["plot_save"] += time.perf_counter() - t0
         n_rows = sum(len(g.seeds) for g in groups)
         print(
             f"[sweep] wall accounting: banners {t_banner:.1f}s (absorbs "
             f"queued setup work), train chunks {acct['chunk']:.1f}s "
             f"(incl. first-call compile), stat evals {acct['stats']:.1f}s, "
-            f"plot+save {acct['plot_save']:.1f}s over {n_rows} rows",
+            f"plot+save {acct['plot_save']:.1f}s over {n_rows} rows "
+            f"(in-loop IO backgrounded; this counts enqueue + exposed tail)",
             flush=True,
         )
 
