@@ -64,6 +64,31 @@ def test_writer_failure_does_not_stop_later_jobs():
     assert seen == ["after"]
 
 
+def test_writer_queue_is_bounded_backpressure():
+    """Producers outrunning the disk must block (bounded queue), not pile
+    up an unbounded chain of host state snapshots."""
+    w = ArtifactWriter()
+    gate = threading.Event()
+    w.submit(gate.wait)  # occupy the worker
+    cap = w._q.maxsize
+    assert cap > 0
+    for _ in range(cap):  # fill the queue behind it
+        w.submit(lambda: None)
+    blocked = threading.Event()
+
+    def producer():
+        w.submit(lambda: None)  # must block until the worker frees a slot
+        blocked.set()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    assert not blocked.wait(0.3)  # still blocked while the queue is full
+    gate.set()
+    assert blocked.wait(5.0)
+    t.join(5.0)
+    w.drain()
+
+
 def test_process_writer_is_a_singleton():
     assert get_artifact_writer() is get_artifact_writer()
 
@@ -98,6 +123,52 @@ def test_grid_save_all_snapshots_at_submit_time(tmp_outdir):
         aux = pickle.load(f)
     assert sum(len(np.asarray(x).reshape(-1))
                for x in aux["recorder"]["vae_losses"]) == n_at_submit
+
+
+def test_solo_save_snapshots_at_submit_time(tmp_outdir):
+    """Trainer.save() enqueues host IO; the written losses.npz must reflect
+    the recorder AT SUBMIT TIME even if training appends more losses while
+    the write is still queued."""
+    from tests.test_train_loop import build_trainer
+
+    trainer, out = build_trainer(tmp_outdir, num_batches=120)
+    trainer.write_stats(trainer.compute_stats())
+    n_at_submit = len(trainer.recorder.loss_trace())
+
+    gate = threading.Event()
+    writer = get_artifact_writer()
+    writer.submit(gate.wait)  # hold the queue: save job can't start yet
+    trainer.save()
+    trainer.recorder.append_train_losses(np.full(64, 123.0, np.float32))
+    gate.set()
+    writer.drain()
+
+    z = np.load(os.path.join(out, "losses.npz"), allow_pickle=True)
+    assert z["VAE Loss"].shape[0] == n_at_submit
+    assert not np.any(z["VAE Loss"] == 123.0)
+
+
+def test_solo_train_failure_still_flushes_queued_artifacts(tmp_outdir):
+    """A crash inside the training loop must not strand queued saves: the
+    exception propagates unmasked AND previously-enqueued artifacts land on
+    disk (they are the newest durable checkpoint a supervised retry
+    resumes from)."""
+    from tests.test_train_loop import build_trainer
+
+    trainer, out = build_trainer(tmp_outdir, num_batches=120)
+    trainer.write_stats(trainer.compute_stats())
+    trainer.save()  # queued artifact write
+
+    def boom():
+        raise RuntimeError("device lost")
+
+    trainer.train_distribution = boom  # linear_gaussian ⇒ distribution mode
+    with pytest.raises(RuntimeError, match="device lost"):
+        trainer.train()
+    # the pre-crash save is durable without any drain by the caller
+    files = set(os.listdir(out))
+    assert "losses.npz" in files and "model.pkl" in files
+    assert any(f.startswith("ckpt") for f in files)
 
 
 def test_grid_train_returns_with_artifacts_durable(tmp_outdir):

@@ -13,8 +13,10 @@ One process-wide worker thread (FIFO queue) does all of it:
   - ONE thread, not a pool: ``plot_batch`` uses matplotlib's pyplot API,
     which is not safe to drive from multiple threads. Confining every
     in-loop figure write to this single thread keeps pyplot effectively
-    single-threaded (the solo ``Trainer`` plots synchronously on the main
-    thread and never overlaps a grid run in-process).
+    single-threaded (the solo ``Trainer``'s in-loop plots/saves ride this
+    writer too; its end-of-run plotting happens on the main thread only
+    after ``train``/``save(final=True)`` have drained the queue, so the
+    two never drive pyplot concurrently).
   - FIFO order preserves the per-directory write sequence (losses.npz →
     model.pkl → checkpoint), so the checkpoint step-ordering guard in
     ``runio/checkpoint.py`` sees monotone steps exactly as before.
@@ -44,7 +46,13 @@ from typing import Callable
 
 class ArtifactWriter:
     def __init__(self):
-        self._q: queue.Queue = queue.Queue()
+        # Bounded: each queued job closes over a full host snapshot of a
+        # run's state (params+opt+history). Epoch-mode loops can produce
+        # jobs ~60× faster than ~175 ms writes drain, so an unbounded
+        # queue is an unbounded pile of state copies; at the bound,
+        # ``submit`` blocks — natural backpressure once the writes, not
+        # the device, are the true bottleneck.
+        self._q: queue.Queue = queue.Queue(maxsize=8)
         self._err: BaseException | None = None
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None

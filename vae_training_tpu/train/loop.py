@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -34,6 +35,7 @@ from ..data.base import DistributionDataset
 from ..models.networks import build_vae
 from ..models.warm_start import apply_warm_start
 from ..evals.stats import StatsRecorder
+from ..runio.background import get_artifact_writer
 from ..runio.checkpoint import (
     restore_checkpoint,
     restore_checkpoint_aux,
@@ -425,21 +427,33 @@ class Trainer:
 
     def plot_epoch(self) -> None:
         key = self.get_key()
-        batch = self.sample_batch(key, self.eval_batch_size)[0]
+        batch = np.asarray(self.sample_batch(key, self.eval_batch_size)[0])
         # epoch datasets index plots by epoch (/root/reference/model.py:142-145)
         tag = self.epoch_num if self.dataset.is_epochs else self.batchnum
         fn = os.path.join(self.dirname, f"output_{tag}.png")
-        self.dataset.plot_batch(np.asarray(batch), fn=fn)
+        # host IO off the training timeline (epoch mode writes a figure
+        # EVERY epoch — ~140 ms of matplotlib against ~ms of device compute);
+        # `batch` is host data, and the single writer thread owns pyplot
+        get_artifact_writer().submit(
+            partial(self.dataset.plot_batch, batch, fn=fn))
 
     # ------------------------------------------------------------------
     def _next_event(self, b: int) -> int:
         return next_event(b, self.cfg.num_batches, self.n_print, self.n_plot)
 
     def train(self) -> None:
-        if self.dataset.is_epochs:
-            self.train_epochs()
-        else:
-            self.train_distribution()
+        try:
+            if self.dataset.is_epochs:
+                self.train_epochs()
+            else:
+                self.train_distribution()
+        except BaseException:
+            # flush queued plot/save IO (the newest durable checkpoint a
+            # retry resumes from) without masking the training error
+            get_artifact_writer().drain_quietly()
+            raise
+        # train() returned ⇒ every in-loop artifact is on disk
+        get_artifact_writer().drain()
 
     def train_epochs(self) -> None:
         """Epoch-mode loop: each epoch is ONE compiled device program.
@@ -606,33 +620,46 @@ class Trainer:
             from ..runio.checkpoint import wait_for_pending_saves
 
             wait_for_pending_saves()
+        # Snapshot everything on the training thread NOW (the recorder and
+        # key chain keep mutating), then enqueue the pure host IO on the
+        # artifact writer so it overlaps the next train chunks. ~175 ms per
+        # save — and epoch mode saves EVERY epoch.
         self.model_save_data(final=final)
-        self.recorder.save_npz(self.dirname, final=final)
-        save_model_pkl(
-            os.path.join(self.dirname, "model.pkl"),
-            jax.device_get(self.state.params),
-            jax.device_get(self.state.opt_state),
+        rec_state = self.recorder.to_state()
+        state_host = jax.device_get(self.state)
+        extra_meta = {
+            "current_epsilon": float(
+                np.asarray(self.current_epsilon).reshape(-1)[0]
+            )
+        }
+        # In-loop sync saves run inside the event block AFTER this
+        # step's print/plot events (batchnum == state.step there); the
+        # end-of-run save happens after the loop (batchnum == total-1,
+        # step == total) where no events at `step` have fired.
+        aux = self._snapshot_aux(
+            events_fired_at_step=(self.batchnum == int(state_host.step))
         )
         ckpt_fn = save_checkpoint
         if getattr(self.cfg, "ckpt_backend", "msgpack") == "orbax":
             from ..runio.checkpoint import save_checkpoint_orbax as ckpt_fn
-        ckpt_fn(
-            self.dirname,
-            self.state,
-            extra_meta={
-                "current_epsilon": float(
-                    np.asarray(self.current_epsilon).reshape(-1)[0]
-                )
-            },
-            # In-loop sync saves run inside the event block AFTER this
-            # step's print/plot events (batchnum == state.step there); the
-            # end-of-run save happens after the loop (batchnum == total-1,
-            # step == total) where no events at `step` have fired.
-            aux=self._snapshot_aux(
-                events_fired_at_step=(self.batchnum == int(self.state.step))
-            ),
-        )
-        self.dataset.save(os.path.join(self.dirname, "dataset.pk"))
+        dirname, dataset = self.dirname, self.dataset
+
+        def write_run(final=final):
+            StatsRecorder.from_state(rec_state).save_npz(dirname, final=final)
+            save_model_pkl(
+                os.path.join(dirname, "model.pkl"),
+                state_host.params,
+                state_host.opt_state,
+            )
+            ckpt_fn(dirname, state_host, extra_meta=extra_meta, aux=aux)
+            dataset.save(os.path.join(dirname, "dataset.pk"))
+
+        writer = get_artifact_writer()
+        writer.submit(write_run)
+        if final:
+            # "save(final=True) returned" must mean durable artifacts —
+            # run.py exits right after
+            writer.drain()
     # NOTE: there is deliberately no Trainer.load() — --state_dict/--data_fn
     # restores happen once in __init__ (and run.py owns dataset loading);
     # a second dead load path is exactly the pattern SURVEY §3.5 flags in
