@@ -17,17 +17,29 @@ fused kernel when supported, else the XLA scan chunk).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-# Honor JAX_PLATFORMS=cpu before backends initialize (the axon
-# sitecustomize otherwise overrides the env var) — same guard as run.py.
-from vae_training_tpu._platform import honor_platform_env
+# When invoked as the SUPERVISOR (the default CLI entry — see supervise()),
+# this process is a pure stdlib watcher: the child re-exec does the real
+# benchmark. Skipping the jax/flax imports here keeps the parent fast and,
+# more importantly, keeps it from ever touching the axon PJRT init whose
+# hangs it exists to supervise.
+_IS_SUPERVISOR = (
+    __name__ == "__main__"
+    and not os.environ.get("VAE_BENCH_CHILD")
+    and "--no-supervise" not in sys.argv
+)
+if not _IS_SUPERVISOR:
+    # Honor JAX_PLATFORMS=cpu before backends initialize (the axon
+    # sitecustomize otherwise overrides the env var) — same guard as run.py.
+    from vae_training_tpu._platform import honor_platform_env
 
-honor_platform_env()
+    honor_platform_env()
 
-import jax
-import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 20_000.0  # /root/repo/BASELINE.json:5
 
@@ -336,5 +348,141 @@ def main() -> int:
     return 0
 
 
+def supervise(child_argv=None, init_timeout=None, total_timeout=None,
+              attempts=None) -> int:
+    """Run the benchmark as a supervised child process and retry hangs.
+
+    ~1 in 10 process starts hang in axon PJRT init before ``jax.devices()``
+    returns (CLAUDE.md), and the driver captures this benchmark exactly once
+    per round — a single unlucky start must not turn into a missing
+    BENCH_r{N}.json. The child is the real benchmark (env
+    ``VAE_BENCH_CHILD=1``); the parent forwards its stderr live, requires
+    the early ``devices:`` marker within ``VAE_BENCH_INIT_TIMEOUT`` (240 s),
+    bounds the whole run by ``VAE_BENCH_TIMEOUT`` (2400 s), and on a hang
+    terminates and retries (SIGTERM first; SIGKILL only as a last resort,
+    followed by the device-grant-release cooldown — same discipline as
+    ``sweep.py --isolate``). stdout stays exactly ONE JSON line: the
+    child's, re-emitted once on success (non-JSON child stdout — e.g.
+    ``--help`` — passes through verbatim instead).
+    """
+    import signal
+    import subprocess
+    import threading
+
+    if child_argv is None:
+        child_argv = ([sys.executable, os.path.abspath(__file__)]
+                      + sys.argv[1:])
+    if init_timeout is None:
+        init_timeout = float(os.environ.get("VAE_BENCH_INIT_TIMEOUT", "240"))
+    if total_timeout is None:
+        total_timeout = float(os.environ.get("VAE_BENCH_TIMEOUT", "2400"))
+    if attempts is None:
+        attempts = int(os.environ.get("VAE_BENCH_ATTEMPTS", "3"))
+    retry_delay = float(os.environ.get("VAE_BENCH_RETRY_DELAY", "10"))
+    last_code = 1
+    for attempt in range(1, attempts + 1):
+        env = dict(os.environ, VAE_BENCH_CHILD="1")
+        proc = subprocess.Popen(
+            child_argv,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, text=True,
+        )
+        init_seen = threading.Event()
+
+        def forward_stderr(stream=proc.stderr):
+            for line in stream:
+                if "devices:" in line:
+                    init_seen.set()
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        reader = threading.Thread(target=forward_stderr, daemon=True)
+        reader.start()
+        start = time.perf_counter()
+        hung = False
+        try:
+            while proc.poll() is None:
+                elapsed = time.perf_counter() - start
+                if not init_seen.is_set() and elapsed > init_timeout:
+                    log(f"[bench-supervisor] no device init after "
+                        f"{init_timeout:.0f}s (attempt {attempt}/{attempts});"
+                        f" terminating")
+                    hung = True
+                    break
+                if elapsed > total_timeout:
+                    log(f"[bench-supervisor] run exceeded "
+                        f"{total_timeout:.0f}s (attempt {attempt}/{attempts})"
+                        f"; terminating")
+                    hung = True
+                    break
+                time.sleep(1.0)
+            if hung:
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    # SIGKILLing a live TPU client wedges the device grant
+                    # for ~5 min — cool down so the retry doesn't inherit
+                    # the wedge.
+                    proc.kill()
+                    proc.wait()
+                    if attempt < attempts:
+                        cooldown = float(
+                            os.environ.get("VAE_TPU_KILL_COOLDOWN", "300"))
+                        log(f"[bench-supervisor] SIGKILLed a wedged child; "
+                            f"cooling down {cooldown:.0f}s (grant release)")
+                        time.sleep(cooldown)
+                last_code = 124
+        finally:
+            # Any parent exit path (incl. the driver SIGTERMing/KeyboardInt-
+            # errupting the supervisor) must not orphan a live TPU client
+            # holding the device grant.
+            if proc.poll() is None:
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+            reader.join(timeout=30)
+            out = proc.stdout.read()
+            proc.stdout.close()
+            proc.stderr.close()
+        if not hung:
+            if proc.returncode == 0:
+                lines = [l for l in out.splitlines() if l.strip()]
+                is_json = False
+                if lines:
+                    try:
+                        json.loads(lines[-1])
+                        is_json = True
+                    except ValueError:
+                        pass
+                if is_json:
+                    print(lines[-1], flush=True)  # the ONE-JSON-line contract
+                    return 0
+                if out:
+                    # non-benchmark stdout (--help and friends): verbatim
+                    sys.stdout.write(out)
+                    sys.stdout.flush()
+                    return 0
+                log("[bench-supervisor] child exited 0 without output")
+                last_code = 1
+            else:
+                log(f"[bench-supervisor] child exited {proc.returncode} "
+                    f"(attempt {attempt}/{attempts})")
+                last_code = proc.returncode
+                if proc.returncode == 2:
+                    # argparse usage errors are deterministic — retrying
+                    # re-prints the same usage message 2 more times
+                    return last_code
+        if attempt < attempts:
+            time.sleep(retry_delay)
+    return last_code
+
+
 if __name__ == "__main__":
+    if _IS_SUPERVISOR:
+        sys.exit(supervise())
+    sys.argv = [a for a in sys.argv if a != "--no-supervise"]
     sys.exit(main())
