@@ -116,25 +116,53 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
     """Run one row as a supervised subprocess: on hang (timeout) or crash,
     kill cleanly (SIGTERM — never SIGKILL a TPU client) and retry, resuming
     from the row's checkpoint if one exists. This turns flaky-runtime hangs
-    into recovered failures instead of lost sweeps."""
+    into recovered failures instead of lost sweeps.
+
+    Two hang classes, two deadlines: a row that produced NO output is an
+    axon init hang (~1 in 10 starts, CLAUDE.md) and is recycled after
+    ``VAE_SWEEP_INIT_TIMEOUT`` (180 s) instead of burning the full row
+    timeout; a row that started (banner seen) gets the whole ``timeout``.
+    """
     import os
     import signal
     import subprocess
+    import threading
 
+    init_timeout = float(os.environ.get("VAE_SWEEP_INIT_TIMEOUT", "180"))
     run_dir = os.path.join(cfg.data_dir, cfg.name)
     for attempt in range(retries + 1):
         argv = cfg_to_argv(cfg)
         if attempt > 0 and os.path.exists(os.path.join(run_dir, "ckpt.msgpack")):
             argv = [a for a in argv if a != "-ow"] + ["--resume", run_dir]
-        proc = subprocess.Popen([sys.executable, "run.py"] + argv)
-        try:
-            if proc.wait(timeout=timeout) == 0:
-                return True
-            print(f"[sweep] {cfg.name} attempt {attempt + 1} exited "
-                  f"{proc.returncode}", flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"[sweep] {cfg.name} attempt {attempt + 1} timed out; "
-                  f"terminating", flush=True)
+        proc = subprocess.Popen([sys.executable, "run.py"] + argv,
+                                stdout=subprocess.PIPE, text=True)
+        started = threading.Event()
+
+        def forward_stdout(stream=proc.stdout):
+            for line in stream:
+                started.set()  # any output ⇒ PJRT init completed
+                sys.stdout.write(line)
+                sys.stdout.flush()
+
+        reader = threading.Thread(target=forward_stdout, daemon=True)
+        reader.start()
+        start = time.monotonic()
+        timed_out = False
+        while proc.poll() is None:
+            elapsed = time.monotonic() - start
+            if not started.is_set() and elapsed > init_timeout:
+                print(f"[sweep] {cfg.name} attempt {attempt + 1}: no output "
+                      f"after {init_timeout:.0f}s (init hang); recycling",
+                      flush=True)
+                timed_out = True
+                break
+            if elapsed > timeout:
+                print(f"[sweep] {cfg.name} attempt {attempt + 1} timed out; "
+                      f"terminating", flush=True)
+                timed_out = True
+                break
+            time.sleep(1.0)
+        if timed_out:
             proc.send_signal(signal.SIGTERM)
             try:
                 proc.wait(timeout=30)
@@ -152,6 +180,13 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
                           f"cooling down {cooldown:.0f}s before the retry "
                           f"(device grant release)", flush=True)
                     time.sleep(cooldown)
+        reader.join(timeout=10)
+        proc.stdout.close()
+        if not timed_out:
+            if proc.returncode == 0:
+                return True
+            print(f"[sweep] {cfg.name} attempt {attempt + 1} exited "
+                  f"{proc.returncode}", flush=True)
     return False
 
 

@@ -62,6 +62,48 @@ def test_isolated_runner_success_and_failure(tmp_path, monkeypatch):
     assert not sweep_mod.run_isolated(bad, timeout=120, retries=1)
 
 
+def _patch_isolated_child(monkeypatch, code):
+    """Make run_isolated spawn ``python -c code`` instead of run.py."""
+    import subprocess
+
+    real_popen = subprocess.Popen
+
+    def fake_popen(argv, **kwargs):
+        return real_popen([sys.executable, "-u", "-c", code], **kwargs)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+
+
+def test_isolated_runner_recycles_init_hangs(tmp_path, monkeypatch, capsys):
+    """A child that never produces output is an axon init hang: it must be
+    recycled after VAE_SWEEP_INIT_TIMEOUT, not after the full row timeout."""
+    import time as time_mod
+
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "1")
+    _patch_isolated_child(monkeypatch, "import time; time.sleep(300)")
+    cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
+    start = time_mod.monotonic()
+    assert not sweep_mod.run_isolated(cfg, timeout=600, retries=0)
+    assert time_mod.monotonic() - start < 30  # nowhere near the row timeout
+    assert "init hang" in capsys.readouterr().out
+
+
+def test_isolated_runner_started_child_gets_full_timeout(
+        tmp_path, monkeypatch, capsys):
+    """Once the child prints anything, the init deadline no longer applies —
+    a slow-but-alive row is only killed by the row timeout."""
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "5")
+    _patch_isolated_child(
+        monkeypatch,
+        "import time; print('banner', flush=True); time.sleep(300)")
+    cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
+    assert not sweep_mod.run_isolated(cfg, timeout=10, retries=0)
+    out = capsys.readouterr().out
+    assert "banner" in out          # child stdout is forwarded
+    assert "timed out" in out       # row deadline, not the init recycler
+    assert "init hang" not in out
+
+
 def test_grouped_sweep_runs_rows_as_grids(tmp_path, monkeypatch):
     """--grouped groups each row's seeds into one grid launch (vmapped XLA
     fallback on CPU) with reference run names."""
