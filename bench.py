@@ -356,18 +356,16 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
     returns (CLAUDE.md), and the driver captures this benchmark exactly once
     per round — a single unlucky start must not turn into a missing
     BENCH_r{N}.json. The child is the real benchmark (env
-    ``VAE_BENCH_CHILD=1``); the parent forwards its stderr live, requires
-    the early ``devices:`` marker within ``VAE_BENCH_INIT_TIMEOUT`` (240 s),
-    bounds the whole run by ``VAE_BENCH_TIMEOUT`` (2400 s), and on a hang
-    terminates and retries (SIGTERM first; SIGKILL only as a last resort,
-    followed by the device-grant-release cooldown — same discipline as
-    ``sweep.py --isolate``). stdout stays exactly ONE JSON line: the
-    child's, re-emitted once on success (non-JSON child stdout — e.g.
-    ``--help`` — passes through verbatim instead).
+    ``VAE_BENCH_CHILD=1``); supervision is the shared ``_supervise.run_
+    supervised`` (also behind ``sweep.py --isolate``): stderr forwarded
+    live, the early ``devices:`` marker required within
+    ``VAE_BENCH_INIT_TIMEOUT`` (240 s), the whole run bounded by
+    ``VAE_BENCH_TIMEOUT`` (2400 s), hangs SIGTERMed and retried. stdout
+    stays exactly ONE JSON line: the child's, re-emitted once on success
+    (non-JSON child stdout — e.g. ``--help`` — passes through verbatim
+    instead).
     """
-    import signal
-    import subprocess
-    import threading
+    from _supervise import run_supervised
 
     if child_argv is None:
         child_argv = ([sys.executable, os.path.abspath(__file__)]
@@ -382,74 +380,18 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
     last_code = 1
     for attempt in range(1, attempts + 1):
         env = dict(os.environ, VAE_BENCH_CHILD="1")
-        proc = subprocess.Popen(
-            child_argv,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            env=env, text=True,
+        outcome = run_supervised(
+            child_argv, init_timeout=init_timeout,
+            total_timeout=total_timeout, env=env, stdout_mode="capture",
+            label="bench-supervisor",
+            note=f" (attempt {attempt}/{attempts})",
+            cooldown_after_kill=attempt < attempts,
         )
-        init_seen = threading.Event()
-
-        def forward_stderr(stream=proc.stderr):
-            for line in stream:
-                if "devices:" in line:
-                    init_seen.set()
-                sys.stderr.write(line)
-                sys.stderr.flush()
-
-        reader = threading.Thread(target=forward_stderr, daemon=True)
-        reader.start()
-        start = time.perf_counter()
-        hung = False
-        try:
-            while proc.poll() is None:
-                elapsed = time.perf_counter() - start
-                if not init_seen.is_set() and elapsed > init_timeout:
-                    log(f"[bench-supervisor] no device init after "
-                        f"{init_timeout:.0f}s (attempt {attempt}/{attempts});"
-                        f" terminating")
-                    hung = True
-                    break
-                if elapsed > total_timeout:
-                    log(f"[bench-supervisor] run exceeded "
-                        f"{total_timeout:.0f}s (attempt {attempt}/{attempts})"
-                        f"; terminating")
-                    hung = True
-                    break
-                time.sleep(1.0)
-            if hung:
-                proc.send_signal(signal.SIGTERM)
-                try:
-                    proc.wait(timeout=30)
-                except subprocess.TimeoutExpired:
-                    # SIGKILLing a live TPU client wedges the device grant
-                    # for ~5 min — cool down so the retry doesn't inherit
-                    # the wedge.
-                    proc.kill()
-                    proc.wait()
-                    if attempt < attempts:
-                        cooldown = float(
-                            os.environ.get("VAE_TPU_KILL_COOLDOWN", "300"))
-                        log(f"[bench-supervisor] SIGKILLed a wedged child; "
-                            f"cooling down {cooldown:.0f}s (grant release)")
-                        time.sleep(cooldown)
-                last_code = 124
-        finally:
-            # Any parent exit path (incl. the driver SIGTERMing/KeyboardInt-
-            # errupting the supervisor) must not orphan a live TPU client
-            # holding the device grant.
-            if proc.poll() is None:
-                proc.send_signal(signal.SIGTERM)
-                try:
-                    proc.wait(timeout=30)
-                except subprocess.TimeoutExpired:
-                    proc.kill()
-                    proc.wait()
-            reader.join(timeout=30)
-            out = proc.stdout.read()
-            proc.stdout.close()
-            proc.stderr.close()
-        if not hung:
-            if proc.returncode == 0:
+        out = outcome.stdout
+        if outcome.hung:
+            last_code = 124
+        else:
+            if outcome.returncode == 0:
                 lines = [l for l in out.splitlines() if l.strip()]
                 is_json = False
                 if lines:
@@ -469,10 +411,10 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
                 log("[bench-supervisor] child exited 0 without output")
                 last_code = 1
             else:
-                log(f"[bench-supervisor] child exited {proc.returncode} "
+                log(f"[bench-supervisor] child exited {outcome.returncode} "
                     f"(attempt {attempt}/{attempts})")
-                last_code = proc.returncode
-                if proc.returncode == 2:
+                last_code = outcome.returncode
+                if outcome.returncode == 2:
                     # argparse usage errors are deterministic — retrying
                     # re-prints the same usage message 2 more times
                     return last_code

@@ -30,9 +30,17 @@ from vae_training_tpu.train import Trainer
 
 
 def main(cfg: RunConfig) -> int:
+    import jax
+
     from vae_training_tpu.runio import enable_compile_cache
 
     enable_compile_cache()
+    # Early liveness marker for supervisors (sweep --isolate, bench):
+    # jax.devices() is exactly where an axon init hang wedges, and on a
+    # cold compile cache the first stdout banner can be minutes later —
+    # this stderr line is what distinguishes "initializing slowly" from
+    # "hung before device init".
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     cfg.validate()
     if cfg.multihost:
         import jax

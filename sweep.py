@@ -118,15 +118,19 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
     from the row's checkpoint if one exists. This turns flaky-runtime hangs
     into recovered failures instead of lost sweeps.
 
-    Two hang classes, two deadlines: a row that produced NO output is an
-    axon init hang (~1 in 10 starts, CLAUDE.md) and is recycled after
-    ``VAE_SWEEP_INIT_TIMEOUT`` (180 s) instead of burning the full row
-    timeout; a row that started (banner seen) gets the whole ``timeout``.
+    Two hang classes, two deadlines (shared machinery: ``_supervise.run_
+    supervised``, the same supervisor behind ``bench.py``): a row whose
+    child shows no sign of life — no ``devices:`` marker on stderr (run.py
+    prints it right after ``jax.devices()`` returns, BEFORE the remote
+    compiles that delay the first stdout banner by minutes on a cold
+    cache), no stdout — is an axon init hang (~1 in 10 starts, CLAUDE.md)
+    and is recycled after ``VAE_SWEEP_INIT_TIMEOUT`` (180 s) instead of
+    burning the full row timeout; a row that initialized gets the whole
+    ``timeout``.
     """
     import os
-    import signal
-    import subprocess
-    import threading
+
+    from _supervise import run_supervised
 
     init_timeout = float(os.environ.get("VAE_SWEEP_INIT_TIMEOUT", "180"))
     run_dir = os.path.join(cfg.data_dir, cfg.name)
@@ -134,59 +138,18 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
         argv = cfg_to_argv(cfg)
         if attempt > 0 and os.path.exists(os.path.join(run_dir, "ckpt.msgpack")):
             argv = [a for a in argv if a != "-ow"] + ["--resume", run_dir]
-        proc = subprocess.Popen([sys.executable, "run.py"] + argv,
-                                stdout=subprocess.PIPE, text=True)
-        started = threading.Event()
-
-        def forward_stdout(stream=proc.stdout):
-            for line in stream:
-                started.set()  # any output ⇒ PJRT init completed
-                sys.stdout.write(line)
-                sys.stdout.flush()
-
-        reader = threading.Thread(target=forward_stdout, daemon=True)
-        reader.start()
-        start = time.monotonic()
-        timed_out = False
-        while proc.poll() is None:
-            elapsed = time.monotonic() - start
-            if not started.is_set() and elapsed > init_timeout:
-                print(f"[sweep] {cfg.name} attempt {attempt + 1}: no output "
-                      f"after {init_timeout:.0f}s (init hang); recycling",
-                      flush=True)
-                timed_out = True
-                break
-            if elapsed > timeout:
-                print(f"[sweep] {cfg.name} attempt {attempt + 1} timed out; "
-                      f"terminating", flush=True)
-                timed_out = True
-                break
-            time.sleep(1.0)
-        if timed_out:
-            proc.send_signal(signal.SIGTERM)
-            try:
-                proc.wait(timeout=30)
-            except subprocess.TimeoutExpired:
-                # Last resort for a SIGTERM-deaf process. SIGKILLing a live
-                # TPU client wedges the device grant for ~5 min (CLAUDE.md),
-                # so an immediate retry would hang and burn the remaining
-                # attempts — cool down until the grant is releasable.
-                proc.kill()
-                proc.wait()
-                if attempt < retries:
-                    cooldown = float(
-                        os.environ.get("VAE_TPU_KILL_COOLDOWN", "300"))
-                    print(f"[sweep] {cfg.name}: SIGKILLed a wedged run; "
-                          f"cooling down {cooldown:.0f}s before the retry "
-                          f"(device grant release)", flush=True)
-                    time.sleep(cooldown)
-        reader.join(timeout=10)
-        proc.stdout.close()
-        if not timed_out:
-            if proc.returncode == 0:
+        outcome = run_supervised(
+            [sys.executable, "run.py"] + argv,
+            init_timeout=init_timeout, total_timeout=timeout,
+            label=f"sweep:{cfg.name}",
+            note=f" (attempt {attempt + 1}/{retries + 1})",
+            cooldown_after_kill=attempt < retries,
+        )
+        if not outcome.hung:
+            if outcome.returncode == 0:
                 return True
             print(f"[sweep] {cfg.name} attempt {attempt + 1} exited "
-                  f"{proc.returncode}", flush=True)
+                  f"{outcome.returncode}", flush=True)
     return False
 
 

@@ -54,6 +54,18 @@ def test_writer_failure_surfaces_on_drain_and_next_submit():
         w.submit(lambda: None)
 
 
+def test_drain_quietly_logs_the_swallowed_failure(capsys):
+    """drain_quietly (crash-path flush) must not mask the in-flight error —
+    but it must LOG the stored write failure before discarding it: it can be
+    the only trace that a checkpoint never hit disk."""
+    w = ArtifactWriter()
+    w.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+    w.drain_quietly()  # no raise
+    err = capsys.readouterr().err
+    assert "background write failed" in err
+    assert "disk full" in err  # the chained original is in the traceback
+
+
 def test_writer_failure_does_not_stop_later_jobs():
     w = ArtifactWriter()
     seen = []

@@ -58,11 +58,13 @@ def test_init_hang_is_terminated_and_retried(tmp_path, capfd, monkeypatch):
         print('{{"metric": "m", "value": 2.0}}')
         """,
     )
-    rc = bench.supervise(argv, init_timeout=3, total_timeout=120, attempts=2)
+    # init_timeout must cover child startup under full-suite load (observed
+    # >5 s) or the healthy RETRY gets classified as a hang too — flaky.
+    rc = bench.supervise(argv, init_timeout=20, total_timeout=300, attempts=2)
     out, err = capfd.readouterr()
     assert rc == 0
     assert json.loads(out.strip())["value"] == 2.0
-    assert "no device init" in err
+    assert "init hang" in err
     assert os.path.exists(marker)
 
 

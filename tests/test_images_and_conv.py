@@ -36,6 +36,18 @@ def test_npz_roundtrip(tmp_path):
         np.asarray(ds.images), np.asarray(ds2.images), atol=1e-6)
 
 
+def test_npz_roundtrip_all_nonnegative_corpus(tmp_path):
+    """save() must stamp pixel_range so a bright corpus (all remapped
+    pixels >= 0 — e.g. white-background images) isn't remapped a SECOND
+    time by from_npz's auto heuristic on reload."""
+    bright = np.full((4, 8, 8, 1), 0.5, np.float32)  # in [-1,1], min >= 0
+    ds = ImageDataset(images=bright, h=8, w=8, c=1)
+    path = str(tmp_path / "bright.npz")
+    ds.save(path)
+    ds2 = ds.load(path)
+    np.testing.assert_allclose(np.asarray(ds2.images), bright, atol=1e-6)
+
+
 def test_tile_images_layout():
     imgs = jnp.stack([jnp.full((4, 4), -1.0), jnp.full((4, 4), 1.0)])
     tile = tile_images(imgs, border=1)

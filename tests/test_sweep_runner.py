@@ -75,33 +75,56 @@ def _patch_isolated_child(monkeypatch, code):
 
 
 def test_isolated_runner_recycles_init_hangs(tmp_path, monkeypatch, capsys):
-    """A child that never produces output is an axon init hang: it must be
-    recycled after VAE_SWEEP_INIT_TIMEOUT, not after the full row timeout."""
+    """A child that never shows a sign of life (no stdout, no `devices:`
+    stderr marker) is an axon init hang: recycled after
+    VAE_SWEEP_INIT_TIMEOUT, not after the full row timeout."""
     import time as time_mod
 
-    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "1")
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "2")
     _patch_isolated_child(monkeypatch, "import time; time.sleep(300)")
     cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
     start = time_mod.monotonic()
     assert not sweep_mod.run_isolated(cfg, timeout=600, retries=0)
-    assert time_mod.monotonic() - start < 30  # nowhere near the row timeout
-    assert "init hang" in capsys.readouterr().out
+    assert time_mod.monotonic() - start < 60  # nowhere near the row timeout
+    assert "init hang" in capsys.readouterr().err
 
 
 def test_isolated_runner_started_child_gets_full_timeout(
         tmp_path, monkeypatch, capsys):
-    """Once the child prints anything, the init deadline no longer applies —
-    a slow-but-alive row is only killed by the row timeout."""
-    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "5")
+    """A child past init (here: it printed stdout) is never recycled by the
+    init deadline — only the row timeout kills it. The init deadline is set
+    unreachably high so the outcome is deterministic under any load."""
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "3600")
     _patch_isolated_child(
         monkeypatch,
         "import time; print('banner', flush=True); time.sleep(300)")
     cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
-    assert not sweep_mod.run_isolated(cfg, timeout=10, retries=0)
-    out = capsys.readouterr().out
-    assert "banner" in out          # child stdout is forwarded
-    assert "timed out" in out       # row deadline, not the init recycler
-    assert "init hang" not in out
+    assert not sweep_mod.run_isolated(cfg, timeout=8, retries=0)
+    out, err = capsys.readouterr()
+    assert "banner" in out          # child stdout is forwarded live
+    assert "run exceeded" in err    # row deadline, not the init recycler
+    assert "init hang" not in err
+
+
+def test_isolated_runner_stderr_marker_counts_as_init(
+        tmp_path, monkeypatch, capsys):
+    """run.py's early `devices:` stderr marker must lift the init deadline
+    even when stdout stays silent (cold-cache remote compiles delay the
+    first banner by minutes — the round-3 false-recycle bug). Unlike the
+    tests above, the init deadline here is REACHABLE (15 s, hit at ~25 s of
+    child life): if the marker failed to lift it, this reports `init hang`
+    instead of `run exceeded`. Margins are wide (worst observed child
+    startup under full-suite load was ~5 s) to keep it deterministic."""
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "15")
+    _patch_isolated_child(
+        monkeypatch,
+        "import sys, time; print('devices: [FakeTpu(0)]', file=sys.stderr,"
+        " flush=True); time.sleep(300)")
+    cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
+    assert not sweep_mod.run_isolated(cfg, timeout=25, retries=0)
+    err = capsys.readouterr().err
+    assert "devices:" in err        # marker forwarded
+    assert "run exceeded" in err and "init hang" not in err
 
 
 def test_grouped_sweep_runs_rows_as_grids(tmp_path, monkeypatch):

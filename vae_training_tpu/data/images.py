@@ -221,7 +221,10 @@ class ImageDataset(struct.PyTreeNode):
         img_tile(b[:64], fn, save=fn is not None)
 
     def save(self, fn: str) -> None:
-        np.savez(fn, images=np.asarray(self.images))
+        # In-memory images are always [-1, 1]; the pixel_range marker makes
+        # a save→load round trip exact (from_npz's "auto" would otherwise
+        # remap an all-nonnegative corpus a second time).
+        np.savez(fn, images=np.asarray(self.images), pixel_range="pm1")
 
     def load(self, fn: str) -> "ImageDataset":
         return ImageDataset.from_npz(fn if fn.endswith(".npz") else fn + ".npz")

@@ -90,11 +90,20 @@ class ArtifactWriter:
     def drain_quietly(self) -> None:
         """Drain without raising — for finally-style flushes where an
         in-flight exception must not be masked. Pending jobs still run
-        (e.g. the last durable checkpoint before a supervised retry)."""
+        (e.g. the last durable checkpoint before a supervised retry).
+        A stored write failure is LOGGED before being discarded: this is
+        often the crash path's last chance to tell the user an artifact
+        (possibly the checkpoint a retry will resume from) never hit disk."""
         try:
             self.drain()
         except Exception:
-            pass
+            import sys
+            import traceback
+
+            print("[artifact-writer] background write failed during "
+                  "crash-path drain (not masking the in-flight error):",
+                  file=sys.stderr, flush=True)
+            traceback.print_exc(file=sys.stderr)
 
     def _raise_if_failed(self) -> None:
         with self._lock:
