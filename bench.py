@@ -304,8 +304,17 @@ def main() -> int:
     log(f"devices: {jax.devices()}")
     trainer = None
     if args.config in GRID_FAMILIES:
-        sweep = build_grid(args.kernels, args.precision,
-                           family=GRID_FAMILIES[args.config])
+        try:
+            sweep = build_grid(args.kernels, args.precision,
+                               family=GRID_FAMILIES[args.config])
+        except ValueError as e:
+            if args.kernels == "pallas":
+                # deterministic eligibility error (e.g. --kernels pallas
+                # off-TPU): exit 2 so the supervisor fails fast instead of
+                # retrying a doomed configuration three times
+                log(f"config error: {e}")
+                return 2
+            raise
         steps_per_sec = measure_grid(sweep)
     elif args.config == "conv":
         conv_trainer, dataset = build_conv()

@@ -60,7 +60,7 @@ def test_init_hang_is_terminated_and_retried(tmp_path, capfd, monkeypatch):
     )
     # init_timeout must cover child startup under full-suite load (observed
     # >5 s) or the healthy RETRY gets classified as a hang too — flaky.
-    rc = bench.supervise(argv, init_timeout=20, total_timeout=300, attempts=2)
+    rc = bench.supervise(argv, init_timeout=12, total_timeout=300, attempts=2)
     out, err = capfd.readouterr()
     assert rc == 0
     assert json.loads(out.strip())["value"] == 2.0

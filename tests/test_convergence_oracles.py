@@ -74,7 +74,7 @@ def test_nojit_mode_runs(tmp_outdir):
     cfg = RunConfig(
         name="nj", dataset="linear_gaussian", encoder_layer_sizes="",
         layer_sizes="", latent_dimension=4, padding_dim=2,
-        dataset_dimension=3, num_batches=25, batch_size=8, nojit=True,
+        dataset_dimension=3, num_batches=12, batch_size=8, nojit=True,
         overwrite=True, tqdm=False, data_dir=tmp_outdir,
     )
     with jax.disable_jit():

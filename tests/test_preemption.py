@@ -74,6 +74,12 @@ def test_sigterm_then_resume_completes(tmp_path):
             proc.kill()
         proc.communicate()
 
+    # The polled step can be stale: under load the child may checkpoint
+    # several more times before the SIGTERM lands. Now that it is dead,
+    # re-read the meta so resume_target provably exceeds the checkpoint
+    # the resume will actually restore from.
+    step = json.load(open(ckpt))["step"]
+
     # Resume to a short final target and verify completion from >= ckpt step.
     resume_target = step + 3000
     proc2 = run_cli(

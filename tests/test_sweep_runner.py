@@ -115,13 +115,13 @@ def test_isolated_runner_stderr_marker_counts_as_init(
     child life): if the marker failed to lift it, this reports `init hang`
     instead of `run exceeded`. Margins are wide (worst observed child
     startup under full-suite load was ~5 s) to keep it deterministic."""
-    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "15")
+    monkeypatch.setenv("VAE_SWEEP_INIT_TIMEOUT", "10")
     _patch_isolated_child(
         monkeypatch,
         "import sys, time; print('devices: [FakeTpu(0)]', file=sys.stderr,"
         " flush=True); time.sleep(300)")
     cfg = next(sweep_mod.sweep_configs("linear", str(tmp_path), 10, "xla"))
-    assert not sweep_mod.run_isolated(cfg, timeout=25, retries=0)
+    assert not sweep_mod.run_isolated(cfg, timeout=16, retries=0)
     err = capsys.readouterr().err
     assert "devices:" in err        # marker forwarded
     assert "run exceeded" in err and "init hang" not in err

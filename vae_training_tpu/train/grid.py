@@ -165,6 +165,24 @@ class GridTrainer:
             precision=cfg.precision,
         )
         self.tx = make_adam(cfg.learning_rate)  # shared with kernels
+        if cfg.kernels == "pallas" and not cfg.nojit:
+            # Strict-backend eligibility, checked BEFORE the state-grid
+            # construction programs compile: a doomed --kernels pallas run
+            # (e.g. off-TPU) must fail in milliseconds, not after tens of
+            # seconds of jitted grid building. Compile-time failures (VMEM
+            # envelope) still propagate from _build_fns below.
+            from ..kernels.linear_vae import pallas_supported
+            from ..kernels.mlp_vae import mlp_pallas_supported
+
+            ok_lin, _ = pallas_supported(
+                self.model, self.datasets[0], cfg, grid_over_mesh=True)
+            ok_mlp, _ = mlp_pallas_supported(
+                self.model, self.datasets[0], cfg, grid_over_mesh=True)
+            if not (ok_lin or ok_mlp):
+                raise ValueError(
+                    f"--kernels pallas: fused grid kernel unavailable "
+                    f"({self._pallas_unavailable_reason()}); use "
+                    f"--kernels auto for the XLA fallback")
         self.dataset_grid = stack_pytrees(self.datasets)
 
         # Key chain identical to the solo Trainer's (train/loop.py:120-158):
