@@ -121,6 +121,36 @@ def test_non_json_stdout_passes_through(tmp_path, capfd):
     assert "usage: bench.py" in out and "--config   which workload" in out
 
 
+def test_sigterm_deaf_child_is_sigkilled(tmp_path, capfd, monkeypatch):
+    """A child that traps SIGTERM and keeps running must be SIGKILLed as
+    the last resort (and with no retries pending, no grant cooldown)."""
+    import time as time_mod
+
+    from _supervise import run_supervised
+
+    monkeypatch.setenv("VAE_TPU_KILL_COOLDOWN", "1")
+    argv = child_script(
+        tmp_path,
+        """
+        import signal, sys, time
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        print("devices: [FakeDevice(0)]", file=sys.stderr, flush=True)
+        time.sleep(600)
+        """,
+    )
+    start = time_mod.monotonic()
+    outcome = run_supervised(
+        argv, init_timeout=60, total_timeout=5,
+        label="t", cooldown_after_kill=False)
+    assert outcome.hung and not outcome.init_hang
+    assert outcome.returncode is None
+    # SIGTERM grace (30 s) + margins, nowhere near the 600 s sleep
+    assert time_mod.monotonic() - start < 90
+    err = capfd.readouterr().err
+    assert "run exceeded" in err
+    assert "cooling down" not in err  # cooldown_after_kill=False
+
+
 def test_cli_child_mode_bypasses_supervision(tmp_path):
     """VAE_BENCH_CHILD=1 must run main() directly (no recursive
     re-exec) — probed via --help, which exits before touching devices."""
