@@ -73,7 +73,9 @@ class ConvVAE(nn.Module):
     """Conv VAE with the reference's latent/noise semantics.
 
     ``__call__`` consumes flattened pixel batches (B, H·W·C) like the MLP
-    VAE so the training engine, ELBO, and stats paths are shared verbatim.
+    VAE so the training engine, ELBO, and stats paths are shared verbatim —
+    or NHWC batches (B, H, W, C) directly, which the epoch program prefers
+    (conv-layout corpus gather, see docs/architecture.md conv accounting).
     """
 
     image_hwc: Tuple[int, int, int]
@@ -119,7 +121,10 @@ class ConvVAE(nn.Module):
 
     def __call__(self, x, z1, z2):
         h, w, c = self.image_hwc
-        imgs = x.reshape(x.shape[0], h, w, c)
+        # Accept NHWC batches directly (the epoch program stores its corpus
+        # in conv layout — train/step.py make_epoch_chunk) as well as the
+        # flat vectors every other caller passes.
+        imgs = x if x.ndim == 4 else x.reshape(x.shape[0], h, w, c)
         mu = self.encoder(imgs)
         logvar_e = self.epsilon_p
         epsilon = self.effective_epsilon()

@@ -70,7 +70,12 @@ def make_elbo_grad_fn(model: VAE):
     def loss_fn(params, batch, z1, z2):
         x_hat, mu, logvar_e, epsilon = model.apply(
             {"params": params}, batch, z1, z2)
-        loss, _, _ = elbo_terms(batch, x_hat, mu, logvar_e, epsilon)
+        # epoch-mode conv batches arrive NHWC (see make_epoch_chunk's corpus
+        # layout note); the ELBO is always over flattened pixels, matching
+        # the reference's vectorized images (/root/reference/vae.py:124).
+        # For the flat paths this reshape is the identity.
+        flat = batch.reshape(batch.shape[0], -1)
+        loss, _, _ = elbo_terms(flat, x_hat, mu, logvar_e, epsilon)
         return loss
 
     return jax.value_and_grad(loss_fn)
@@ -198,8 +203,19 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
     """
     latent_dim = model.latent_dim
     data_dim = dataset.dimension
-    flat_images = dataset.images.reshape(dataset.images.shape[0], -1)
-    n_total = flat_images.shape[0]
+    # Corpus layout (measured on v5e, tools/probe_conv_layout.py): a conv
+    # model's C=1 input wants the conv layout, and gathering from a FLAT
+    # corpus fuses the take with a relayout worth ~21 us/step (~7% of the
+    # epoch program). Store the corpus in the shape the first conv consumes
+    # so the per-step gather emits conv-layout slabs directly; the relayout
+    # happens once, at trace time. Values are identical either way (reshape
+    # then take == take then reshape on axis 0), so losses are unchanged.
+    if hasattr(model, "image_hwc"):
+        h, w, c = model.image_hwc
+        corpus = dataset.images.reshape(dataset.images.shape[0], h, w, c)
+    else:
+        corpus = dataset.images.reshape(dataset.images.shape[0], -1)
+    n_total = corpus.shape[0]
 
     grad_fn = make_elbo_grad_fn(model)
 
@@ -228,7 +244,7 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
                 base = i * batch_size + didx * local_bs
                 bs = local_bs
             idx = jax.lax.dynamic_slice(perm, (base,), (bs,))
-            return jnp.take(flat_images, idx, axis=0)
+            return jnp.take(corpus, idx, axis=0)
 
         def body(carry, i):
             s, batch = carry
