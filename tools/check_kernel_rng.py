@@ -7,10 +7,16 @@ use, then checks moments and a chi-squared normality fit. The training-side
 validation of the RNG is the analytic-oracle convergence of full sweep rows;
 this tool isolates the sampler itself.
 
-Last recorded run (v5e, 2026-08-16):
+Also validates the PACKED noise mode's premise (linear_vae._make_kernel
+``packed_noise``): the lane windows it pairs — a block's lower half with
+its rolled upper half — must be independent, checked as a direct
+correlation over the paired elements.
+
+Last recorded run (v5e, 2026-08-18):
     n=4,194,304  mean=-0.00041  std=0.99997  skew=-0.00085  ex.kurt=+0.00259
     chi2(99 dof, exact N(0,1) bins)=97.6 -> PASS
-    cos/sin partner correlation=-0.0036
+    cos/sin partner correlation=+0.00067
+    lane-half (packed-window) correlation=+0.00180
 """
 
 from __future__ import annotations
@@ -92,7 +98,19 @@ def main() -> int:
     pair_corr = np.corrcoef(cos_part, sin_part)[0, 1]
     print(f"cos/sin partner correlation={pair_corr:+.5f} "
           f"(n={cos_part.size} pairs)")
-    ok = ok and abs(mean) < 5e-3 and abs(std - 1) < 5e-3 and abs(pair_corr) < 0.01
+
+    # packed-noise window independence: the packed kernel path pairs a
+    # block's LOWER lane half with its (rolled) UPPER half — z2 with the
+    # manifold draw, z1 with the observation noise (linear_vae._make_kernel
+    # packed_noise). Element [r, j] pairs with [r, j + N/2] of the same
+    # block; their correlation must vanish like any other disjoint draw.
+    halves = a.reshape(-1, N, N)
+    lo, hi = halves[:, :, : N // 2].reshape(-1), halves[:, :, N // 2:].reshape(-1)
+    half_corr = np.corrcoef(lo, hi)[0, 1]
+    print(f"lane-half (packed-window) correlation={half_corr:+.5f} "
+          f"(n={lo.size} pairs)")
+    ok = (ok and abs(mean) < 5e-3 and abs(std - 1) < 5e-3
+          and abs(pair_corr) < 0.01 and abs(half_corr) < 0.01)
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -187,6 +187,7 @@ def _make_kernel(
     dual: bool = False,  # dual sigmoid+plain decoder (sigmoid configs)
     grid: bool = False,  # one grid step per sweep seed (blocks have lead dim 1)
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
+    packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
@@ -280,7 +281,21 @@ def _make_kernel(
                 z2 = ldn(z2n_ref, i)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
-                n_int = n_raw * int_m
+                if packed_noise:
+                    # Packed mode: this ONE Box-Muller pair supplies every
+                    # noise consumer. Lanes of a normal block are iid, so
+                    # disjoint lane windows are independent draws: the
+                    # manifold reads the UPPER half of block A (repositioned
+                    # by a static half-width lane roll — one VPU rotate), z2
+                    # the lower half of A, z1 the lower half of B, and the
+                    # observation noise the upper half of B. Statistics are
+                    # unchanged while the per-step PRNG + transcendental
+                    # work — the dominant non-MXU cost of this kernel
+                    # (docs/architecture.md) — halves. Callers gate on every
+                    # dim <= N // 2 so the windows never overlap.
+                    n_int = pltpu.roll(n_raw, shift=N // 2, axis=1) * int_m
+                else:
+                    n_int = n_raw * int_m
                 if dataset_kind == "sigmoid":
                     logit = jnp.dot(n_int, a_t,
                                     preferred_element_type=jnp.float32, precision=prec)
@@ -290,7 +305,12 @@ def _make_kernel(
                                 preferred_element_type=jnp.float32, precision=prec)
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                if dataset_kind == "linear" and var_added > 0.0:
+                if packed_noise:
+                    z2 = n_raw * dat_m * row_m
+                    if dataset_kind == "linear" and var_added > 0.0:
+                        var_blk = pltpu.roll(z1_raw, shift=N // 2, axis=1)
+                        x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
+                elif dataset_kind == "linear" and var_added > 0.0:
                     # pair z2 with the observation noise: one transform
                     z2_raw, var_raw = _normal_block_pair(rows)
                     x = (x + var_raw * dat_m * row_m
@@ -432,6 +452,7 @@ def run_fused_chunk(
     interpret: bool = False,
     grid_n: int = 0,
     fp32_dots: bool = False,
+    packed_noise: bool | None = None,
 ):
     """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
 
@@ -443,14 +464,23 @@ def run_fused_chunk(
     DIFFERENT dimensions train in the same launch — the ``data_dim``/
     ``latent_dim``/``intrinsic_dim`` arguments are ignored by grid-mode
     masks (they still describe the host-side pack/unpack layout).
+
+    ``packed_noise=None`` (auto) enables the packed in-kernel noise draw
+    (one Box-Muller pair per step — see _make_kernel) whenever every static
+    dim fits a half-lane window; MIXED-dimension grid callers must decide
+    from the max over their rows and pass the bool explicitly, because the
+    static args here describe only row 0's layout.
     """
+    if packed_noise is None:
+        packed_noise = max(data_dim, latent_dim, intrinsic_dim) <= N // 2
+    packed_noise = packed_noise and external_noise is None
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None,
         dataset_kind=dataset_kind, dual=dual, grid=grid_n > 0,
-        fp32_dots=fp32_dots,
+        fp32_dots=fp32_dots, packed_noise=packed_noise,
     )
     lead = (grid_n,) if grid_n else ()
     blead = (1,) if grid_n else ()
@@ -524,7 +554,7 @@ def run_fused_chunk(
         cost_estimate=pl.CostEstimate(
             flops=n_matmuls * 2 * N * N * N * n_steps,
             bytes_accessed=(9 * N * N + 3 * 8 * N + n_steps) * 4,
-            transcendentals=12 * N * N * n_steps,
+            transcendentals=(6 if packed_noise else 12) * N * N * n_steps,
         ),
     )(seed_and_t0, *inputs)
     losses = out[N_STATE_BUFFERS][:, 0]

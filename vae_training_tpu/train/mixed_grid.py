@@ -222,6 +222,7 @@ class MixedGridSweep:
 
     def _build_chunk(self):
         from ..kernels.linear_vae import (
+            N,
             grid_seed_rows,
             manifold_rows,
             pack_state,
@@ -245,6 +246,14 @@ class MixedGridSweep:
         a_t_all = jnp.concatenate(a_t_groups, axis=0)
         total_rows = sum(sizes)
         self.n_rows = total_rows
+        # packed in-kernel noise needs every ROW's dims inside a half-lane
+        # window; the per-launch static args describe only row 0's layout,
+        # so the gate must scan all groups (run_fused_chunk docstring).
+        # Note: a launch mixing <=N/2 rows with >N/2 rows disables packing
+        # for ALL its rows, so those small rows' trajectories differ from a
+        # solo run's (statistically equivalent, not bitwise) — impossible in
+        # the reference sweeps, where every dim is far below N/2.
+        packed_noise = max(max(dims) for dims in group_dims) <= N // 2
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
@@ -278,6 +287,7 @@ class MixedGridSweep:
                     grid_n=seeds_r.shape[0], interpret=interpret,
                     external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
+                    packed_noise=packed_noise,
                 )
 
             noise_ops = tuple(external_noise) if external_noise else ()
