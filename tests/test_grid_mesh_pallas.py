@@ -224,3 +224,35 @@ def test_mixed_sweep_shard_rows_real_kernel_bitwise(tmp_outdir):
                                    solo_state.params, f"g{gi} params")
             assert_row_equals_tree(new_grids[gi].opt_state, i,
                                    solo_state.opt_state, f"g{gi} opt")
+
+
+def test_packed_noise_gate():
+    """packed_noise_ok: the single gate for the packed in-kernel noise draw
+    (kernels/linear_vae._make_kernel) — every dim must fit a half-lane
+    window or the paired windows would overlap (correlated noise)."""
+    from vae_training_tpu.kernels.linear_vae import N, packed_noise_ok
+
+    assert packed_noise_ok(12, 20, 4)          # reference linear sweep dims
+    assert packed_noise_ok(N // 2, N // 2)     # boundary: exactly half-lane
+    assert not packed_noise_ok(N // 2 + 1, 4)  # one over → windows overlap
+
+
+def test_mixed_sweep_packed_gate_scans_all_rows(tmp_outdir):
+    """MixedGridSweep must gate packing on EVERY row's dims (the launch's
+    static args describe only row 0): a launch whose FIRST group is small
+    but whose second group exceeds a half-lane window disables packing for
+    the whole launch."""
+    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+
+    small = GridTrainer(make_cfg(tmp_outdir, name="pk_s"), [2])
+    sweep = MixedGridSweep([small], interpret=True)
+    assert sweep._packed_noise is True
+
+    big = GridTrainer(
+        make_cfg(tmp_outdir, name="pk_b", dataset_dimension=60,
+                 dataset_intrinsic_dimension=3, padding_dim=10,
+                 latent_dimension=6),
+        [2])
+    assert big.data_dim == 70  # > N // 2: must veto packing launch-wide
+    sweep2 = MixedGridSweep([small, big], interpret=True)
+    assert sweep2._packed_noise is False

@@ -163,6 +163,16 @@ def row_tile(batch: int) -> int:
     return min(N, ((batch + 7) // 8) * 8)
 
 
+def packed_noise_ok(*dims: int) -> bool:
+    """True when every dim fits a half-lane window, i.e. the packed
+    in-kernel noise draw (one Box-Muller pair per step supplying all four
+    noise consumers from disjoint lane windows — see _make_kernel) keeps
+    its windows non-overlapping. The single gate used by every caller:
+    solo/uniform-grid launches pass their static dims; MIXED-dimension
+    grid launches must pass the dims of EVERY row."""
+    return max(dims) <= N // 2
+
+
 def _adam(p, m, v, g, t, lr):
     m = B1 * m + (1.0 - B1) * g
     v = B2 * v + (1.0 - B2) * g * g
@@ -472,7 +482,7 @@ def run_fused_chunk(
     static args here describe only row 0's layout.
     """
     if packed_noise is None:
-        packed_noise = max(data_dim, latent_dim, intrinsic_dim) <= N // 2
+        packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
     packed_noise = packed_noise and external_noise is None
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,

@@ -48,6 +48,7 @@ from .linear_vae import (
     _normal_block_pair,
     _pack_mat,
     _row_mask,
+    packed_noise_ok,
     row_tile,
 )
 
@@ -84,6 +85,7 @@ def _make_kernel(
     grid: bool = False,  # one grid step per sweep seed (lead dim 1 blocks)
     dual: bool = False,  # sigmoid-dataset decoder pair: x̂ = σ(Sig(s)) + Dec(s)
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
+    packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
 ):
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
@@ -222,23 +224,41 @@ def _make_kernel(
                 z2 = ldn(z2n_ref, i)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
+                if packed_noise:
+                    # Packed mode (see kernels/linear_vae.py for the full
+                    # rationale): this ONE Box-Muller pair supplies every
+                    # noise consumer from disjoint lane windows — manifold
+                    # draw from block A's UPPER half (repositioned by a
+                    # static half-width lane roll), z2 from A's lower half,
+                    # z1 from B's lower half, observation noise from B's
+                    # upper half. Callers gate on every dim <= LANE // 2 so
+                    # the windows never overlap; the per-step PRNG +
+                    # transcendental work halves, statistics unchanged.
+                    n_src = pltpu.roll(n_raw, shift=LANE // 2, axis=1)
+                else:
+                    n_src = n_raw
                 if dataset_kind == "sphere":
-                    g = n_raw * int_m
+                    g = n_src * int_m
                     norm2 = jnp.sum(g * g, axis=1, keepdims=True)
                     x = g * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
                     x = x * int_m  # live cols only (dim == intrinsic here)
                 elif dataset_kind == "sigmoid":
                     # Y = [z, σ(z·A), 0-pad]: A's column sits at a_t[:, dim]
                     # so the matmul lands the logit in the σ-coordinate col
-                    n_int = n_raw * int_m
+                    n_int = n_src * int_m
                     logit = dotf(n_int, a_t)
                     x = n_int + jax.nn.sigmoid(logit) * sig_col_m
                 else:
-                    n_int = n_raw * int_m
+                    n_int = n_src * int_m
                     x = dotf(n_int, a_t)
                 x = x * row_m
                 z1 = z1_raw * lat_m * row_m
-                if dataset_kind == "linear" and var_added > 0.0:
+                if packed_noise:
+                    z2 = n_raw * dat_m * row_m
+                    if dataset_kind == "linear" and var_added > 0.0:
+                        var_blk = pltpu.roll(z1_raw, shift=LANE // 2, axis=1)
+                        x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
+                elif dataset_kind == "linear" and var_added > 0.0:
                     # pair z2 with the observation noise: one transform
                     z2_raw, var_raw = _normal_block_pair(rows)
                     x = (x + var_raw * dat_m * row_m
@@ -481,14 +501,23 @@ def run_mlp_fused_chunk(
     grid_n: int = 0,
     dual: bool = False,
     fp32_dots: bool = False,
+    packed_noise: bool | None = None,
 ):
+    # packed_noise=None (auto) enables the packed in-kernel noise draw when
+    # every static dim fits a half-lane window; MIXED-dimension grid callers
+    # must decide from the max over their rows and pass the bool explicitly
+    # (the static dims here describe only row 0's layout). See
+    # linear_vae.run_fused_chunk for the full contract.
+    if packed_noise is None:
+        packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
+    packed_noise = packed_noise and external_noise is None
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, enc_dims=list(enc_dims), dec_dims=list(dec_dims),
         dataset_kind=dataset_kind, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None, grid=grid_n > 0,
-        dual=dual, fp32_dots=fp32_dots,
+        dual=dual, fp32_dots=fp32_dots, packed_noise=packed_noise,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
@@ -548,7 +577,7 @@ def run_mlp_fused_chunk(
         cost_estimate=pl.CostEstimate(
             flops=flops * n_steps,
             bytes_accessed=sum(a.size for a in state_arrays) * 4 + n_steps * 4,
-            transcendentals=10 * LANE * LANE * n_steps,
+            transcendentals=(5 if packed_noise else 10) * LANE * LANE * n_steps,
         ),
     )(seed_and_t0, *inputs)
     new_state_arrays, losses = out[:n_state], out[n_state][:, 0]

@@ -222,10 +222,10 @@ class MixedGridSweep:
 
     def _build_chunk(self):
         from ..kernels.linear_vae import (
-            N,
             grid_seed_rows,
             manifold_rows,
             pack_state,
+            packed_noise_ok,
             run_fused_chunk,
             unpack_state,
         )
@@ -253,7 +253,9 @@ class MixedGridSweep:
         # for ALL its rows, so those small rows' trajectories differ from a
         # solo run's (statistically equivalent, not bitwise) — impossible in
         # the reference sweeps, where every dim is far below N/2.
-        packed_noise = max(max(dims) for dims in group_dims) <= N // 2
+        packed_noise = packed_noise_ok(
+            *(d for dims in group_dims for d in dims))
+        self._packed_noise = packed_noise
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
@@ -311,7 +313,11 @@ class MixedGridSweep:
     def _build_chunk_mlp(self):
         """Mixed-dims one-launch chunk on the MLP kernel (the sphere sweep's
         5 rows × 3 seeds, or any uniform-hidden-width MLP row set)."""
-        from ..kernels.linear_vae import grid_seed_rows, manifold_rows
+        from ..kernels.linear_vae import (
+            grid_seed_rows,
+            manifold_rows,
+            packed_noise_ok,
+        )
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -340,6 +346,13 @@ class MixedGridSweep:
         a_t_all = jnp.concatenate(a_t_groups, axis=0)
         total_rows = sum(sizes)
         self.n_rows = total_rows
+        # packed in-kernel noise gates on EVERY row's dims fitting a
+        # half-lane window (same contract as the linear-family gate above;
+        # see run_mlp_fused_chunk / run_fused_chunk docstrings)
+        packed_noise = packed_noise_ok(
+            *(d for dd, ldim, idim, _, _ in group_meta
+              for d in (dd, ldim, idim)))
+        self._packed_noise = packed_noise
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
@@ -373,6 +386,7 @@ class MixedGridSweep:
                     grid_n=seeds_r.shape[0], dual=dual, interpret=interpret,
                     external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
+                    packed_noise=packed_noise,
                 )
 
             noise_ops = tuple(external_noise) if external_noise else ()
