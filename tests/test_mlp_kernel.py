@@ -354,3 +354,50 @@ def test_mlp_supported_gating(monkeypatch):
                      decoder_layer_sizes="600|600")
     ok, why = mlp_pallas_supported(wide, dataset, cfg)
     assert not ok and "too wide" in why
+
+
+def test_mlp_packed_windows_match_xla():
+    """The MLP kernel's PACKED noise branch (sphere manifold from the
+    rolled upper window, z2/z1 from the lower windows), pinned on CPU via
+    the raw-pair hook — see test_pallas_kernel.py::
+    test_packed_windows_match_xla_math for the linear-kernel twin."""
+    n_steps = 4
+    dataset, model, tx, state = setup(tdv=True)
+    D = dataset.dimension
+    enc_dims = _layer_dims(model.encoder_features, D)
+    dec_dims = _layer_dims(model.decoder_features, LATENT)
+
+    rng = np.random.RandomState(11)
+    a_blk = rng.randn(n_steps, BATCH, LANE).astype(np.float32)
+    b_blk = rng.randn(n_steps, BATCH, LANE).astype(np.float32)
+
+    # numpy recomputation of the packed windows (half-lane shift is
+    # direction-agnostic, so np.roll pins pltpu.roll either way)
+    up_a = np.roll(a_blk, LANE // 2, axis=-1)
+    g = up_a[:, :, : dataset.dim]
+    xs = np.zeros((n_steps, BATCH, D), np.float32)
+    xs[:, :, : dataset.dim] = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    z1s = b_blk[:, :, :LATENT]
+    z2s = a_blk[:, :, :D]
+
+    packed = pack_mlp_state(state, enc_dims, dec_dims, True)
+    new_packed, losses = run_mlp_fused_chunk(
+        n_steps=n_steps,
+        seed_and_t0=jnp.array([13, 0], jnp.int32),
+        a_t=jnp.zeros((LANE, LANE), jnp.float32),
+        packed=packed,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        enc_dims=enc_dims, dec_dims=dec_dims,
+        dataset_kind="sphere", intrinsic_dim=dataset.dim, var_added=0.0,
+        eps_const=-3.0, tdv=True, lr=1e-3,
+        external_raw_noise=(jnp.asarray(a_blk), jnp.asarray(b_blk)),
+        interpret=True,
+    )
+    kstate = unpack_mlp_state(state, new_packed, n_steps, enc_dims, dec_dims,
+                              True, LATENT)
+    xparams, xopt, xlosses = run_xla_steps(
+        model, tx, state, jnp.asarray(xs), jnp.asarray(z1s), jnp.asarray(z2s))
+
+    np.testing.assert_allclose(np.asarray(losses), xlosses, rtol=3e-4,
+                               atol=3e-4)
+    assert_trees_close(kstate.params, xparams, rtol=1e-3, atol=1e-5)

@@ -185,3 +185,74 @@ def test_pallas_supported_gating(monkeypatch):
     ok, why = pallas_supported(mlp, dataset, cfg)
     assert not ok and "0-hidden-layer" in why
     # fully-supported pairs were accepted above under the fake TPU backend
+
+
+@pytest.mark.parametrize("kind,var_added", [
+    ("linear", 0.0), ("linear", 0.25), ("sigmoid", 0.0),
+])
+def test_packed_windows_match_xla_math(kind, var_added):
+    """The PACKED noise branch's lane-window arithmetic, pinned on CPU.
+
+    The packed production path derives all four noise consumers from one
+    raw Box-Muller pair via disjoint lane windows + half-width rolls
+    (_make_kernel.packed_sample) — a branch the plain external-noise hook
+    bypasses. Here the RAW pair is supplied externally
+    (external_raw_noise), the kernel runs the packed derivation verbatim
+    in interpret mode, and the XLA reference is fed the numpy recomputation
+    of the same windows — so a wrong roll, mask, or window overlap breaks
+    this test rather than silently corrupting training statistics.
+    """
+    n_steps = 5
+    dataset, model, tx, state = setup(kind=kind, tdv=True)
+    dual = kind == "sigmoid"
+    D = dataset.dimension
+    rows = BATCH  # row_tile(32) == 32
+
+    rng = np.random.RandomState(7)
+    a_blk = rng.randn(n_steps, rows, N).astype(np.float32)
+    b_blk = rng.randn(n_steps, rows, N).astype(np.float32)
+
+    # numpy recomputation of the packed windows (shift N/2 is direction-
+    # agnostic, so np.roll pins pltpu.roll regardless of its convention)
+    up_a = np.roll(a_blk, N // 2, axis=-1)
+    lat = up_a[:, :, :INTRINSIC]
+    xs = np.zeros((n_steps, rows, D), np.float32)
+    if kind == "sigmoid":
+        sig = 1 / (1 + np.exp(-(lat @ np.asarray(dataset.A))))
+        xs[:, :, : dataset.dim] = lat
+        xs[:, :, dataset.dim: dataset.dim + 1] = sig
+    else:
+        xs[:, :, : dataset.dim] = lat @ np.asarray(dataset.A.T)
+        if var_added > 0.0:
+            up_b = np.roll(b_blk, N // 2, axis=-1)
+            xs += up_b[:, :, :D] * np.float32(np.sqrt(var_added))
+    z1s = b_blk[:, :, :LATENT]
+    z2s = a_blk[:, :, :D]
+
+    buffers = pack_state(state, D, LATENT, True, dual=dual)
+    new_buffers, klosses = run_fused_chunk(
+        n_steps=n_steps, seed_and_t0=jnp.array([9, 0], jnp.int32),
+        a_t=_pack_a_t(dataset, kind), buffers=buffers,
+        batch=BATCH, data_dim=D, latent_dim=LATENT,
+        intrinsic_dim=INTRINSIC, var_added=var_added, eps_const=-1.0,
+        tdv=True, lr=1e-3, dual=dual,
+        dataset_kind="sigmoid" if kind == "sigmoid" else "linear",
+        external_raw_noise=(jnp.asarray(a_blk), jnp.asarray(b_blk)),
+        interpret=True,
+    )
+    kstate = unpack_state(state, new_buffers, n_steps, D, LATENT, True,
+                          dual=dual)
+    xparams, xopt, xlosses = run_xla_steps(
+        model, tx, state, jnp.asarray(xs), jnp.asarray(z1s), jnp.asarray(z2s))
+
+    np.testing.assert_allclose(np.asarray(klosses), xlosses,
+                               rtol=2e-4, atol=2e-4)
+    assert_trees_close(kstate.params, xparams, rtol=5e-4, atol=5e-5)
+
+
+def _pack_a_t(dataset, kind):
+    """The kernel-side manifold matrix (manifold_rows packing contract)."""
+    from vae_training_tpu.kernels.linear_vae import manifold_rows
+
+    _, _, _, a_t = manifold_rows([dataset])
+    return a_t[0]

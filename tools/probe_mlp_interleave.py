@@ -14,7 +14,6 @@ Prints per-variant wall times; VERDICT line gives the interleave cost ratio.
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -69,20 +68,24 @@ def run(n_steps: int, n_chains: int):
             transcendentals=0,
         ),
     )
-    jfn = jax.jit(functools.partial(fn))
+    jfn = jax.jit(fn)
     out = jfn(*xs, *ws)
-    jax.block_until_ready(out)
+    # force warmup completion through the data chain too —
+    # block_until_ready can return early on the tunnel runtime (CLAUDE.md),
+    # which would leak warmup execution into the timed window
+    sum(float(o[0, 0]) for o in out)
     t0 = time.perf_counter()
     out = jfn(*xs, *ws)
-    # force completion through the data chain (block_until_ready can return
-    # early on the tunnel runtime — CLAUDE.md)
     s = sum(float(o[0, 0]) for o in out)
     dt = time.perf_counter() - t0
     return dt, s
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    # default sized so the 1-chain window is >~1 s of device work (CLAUDE.md
+    # timing rule: amortize the tunnel's up-to-29 ms dispatch RTT below the
+    # percent level; 24 dots/step at ~150 ns/dot → ~3.7 µs/step)
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     print(f"chain: {DEPTH} serially-dependent {ROWS}x{W}x{W} dots/step, "
           f"{n_steps} steps")
     results = {}
@@ -95,9 +98,10 @@ def main():
     one = min(results[1])
     two = min(results[2])
     four = min(results[4])
-    print(f"VERDICT: 2-chain cost ratio {two / one:.2f}x for 2x work; "
+    print(f"VERDICT: 2-chain cost ratio {two / one:.2f}x for 2x work "
+          f"(aggregate win {2 * one / two:.2f}x); "
           f"4-chain {four / one:.2f}x for 4x work "
-          f"(<1.5x / <3x => latency-bound, interleaving wins)")
+          f"(win {4 * one / four:.2f}x)")
 
 
 if __name__ == "__main__":

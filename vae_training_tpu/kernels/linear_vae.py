@@ -198,10 +198,19 @@ def _make_kernel(
     grid: bool = False,  # one grid step per sweep seed (blocks have lead dim 1)
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
     packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
+    raw_noise: bool = False,  # external blocks are the RAW Box-Muller pair
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
     compared against the XLA train step exactly.
+
+    ``raw_noise=True`` (requires ``external_noise`` and ``packed_noise``)
+    feeds the PACKED derivation from caller-supplied raw normal blocks
+    instead of the PRNG: the first two noise buffers are the per-step
+    Box-Muller pair (A, B) and the packed lane-window arithmetic (rolls,
+    masks) runs verbatim — the test hook that pins the packed branch's
+    window math on CPU, where the in-kernel PRNG can't run
+    (tests/test_pallas_kernel.py::test_packed_windows_match_xla_math).
 
     ``dataset_kind='sigmoid'`` samples Y = [z, σ(z·A), 0-pad] in-kernel
     (/root/reference/datasets.py:240-249); ``dual=True`` adds the sigmoid
@@ -279,48 +288,57 @@ def _make_kernel(
         # suite) is exact fp32 in both modes.
         prec = jax.lax.Precision.HIGHEST if fp32_dots else None
 
+        def manifold_x(n_int):
+            if dataset_kind == "sigmoid":
+                logit = jnp.dot(n_int, a_t,
+                                preferred_element_type=jnp.float32, precision=prec)
+                return n_int + jax.nn.sigmoid(logit) * sig_col_m
+            return jnp.dot(n_int, a_t,
+                           preferred_element_type=jnp.float32, precision=prec)
+
+        def packed_sample(n_raw, z1_raw):
+            # Packed mode: ONE Box-Muller pair supplies every noise
+            # consumer. Lanes of a normal block are iid, so disjoint lane
+            # windows are independent draws: the manifold reads the UPPER
+            # half of block A (repositioned by a static half-width lane
+            # roll — one VPU rotate), z2 the lower half of A, z1 the lower
+            # half of B, and the observation noise the upper half of B.
+            # Statistics are unchanged while the per-step PRNG +
+            # transcendental work — the dominant non-MXU cost of this
+            # kernel (docs/architecture.md) — halves. Callers gate on every
+            # dim <= N // 2 so the windows never overlap. This derivation
+            # is shared by the production path and the raw_noise test hook.
+            n_int = pltpu.roll(n_raw, shift=N // 2, axis=1) * int_m
+            x = manifold_x(n_int) * row_m
+            z1 = z1_raw * lat_m * row_m
+            z2 = n_raw * dat_m * row_m
+            if dataset_kind == "linear" and var_added > 0.0:
+                var_blk = pltpu.roll(z1_raw, shift=N // 2, axis=1)
+                x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
+            return x, z1, z2
+
         def body(i, carry):
             (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws,
              mvec, vvec) = carry
             t = t0 + i.astype(jnp.float32) + 1.0
 
             # --- sample (on-device dataset + prior noise) ---------------
-            if external_noise:
+            if external_noise and raw_noise:
+                # packed derivation from caller-supplied raw pair (test hook)
+                x, z1, z2 = packed_sample(ldn(xn_ref, i), ldn(z1n_ref, i))
+            elif external_noise:
                 x = ldn(xn_ref, i)
                 z1 = ldn(z1n_ref, i)
                 z2 = ldn(z2n_ref, i)
+            elif packed_noise:
+                n_raw, z1_raw = _normal_block_pair(rows)
+                x, z1, z2 = packed_sample(n_raw, z1_raw)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
-                if packed_noise:
-                    # Packed mode: this ONE Box-Muller pair supplies every
-                    # noise consumer. Lanes of a normal block are iid, so
-                    # disjoint lane windows are independent draws: the
-                    # manifold reads the UPPER half of block A (repositioned
-                    # by a static half-width lane roll — one VPU rotate), z2
-                    # the lower half of A, z1 the lower half of B, and the
-                    # observation noise the upper half of B. Statistics are
-                    # unchanged while the per-step PRNG + transcendental
-                    # work — the dominant non-MXU cost of this kernel
-                    # (docs/architecture.md) — halves. Callers gate on every
-                    # dim <= N // 2 so the windows never overlap.
-                    n_int = pltpu.roll(n_raw, shift=N // 2, axis=1) * int_m
-                else:
-                    n_int = n_raw * int_m
-                if dataset_kind == "sigmoid":
-                    logit = jnp.dot(n_int, a_t,
-                                    preferred_element_type=jnp.float32, precision=prec)
-                    x = n_int + jax.nn.sigmoid(logit) * sig_col_m
-                else:
-                    x = jnp.dot(n_int, a_t,
-                                preferred_element_type=jnp.float32, precision=prec)
-                x = x * row_m
+                n_int = n_raw * int_m
+                x = manifold_x(n_int) * row_m
                 z1 = z1_raw * lat_m * row_m
-                if packed_noise:
-                    z2 = n_raw * dat_m * row_m
-                    if dataset_kind == "linear" and var_added > 0.0:
-                        var_blk = pltpu.roll(z1_raw, shift=N // 2, axis=1)
-                        x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
-                elif dataset_kind == "linear" and var_added > 0.0:
+                if dataset_kind == "linear" and var_added > 0.0:
                     # pair z2 with the observation noise: one transform
                     z2_raw, var_raw = _normal_block_pair(rows)
                     x = (x + var_raw * dat_m * row_m
@@ -463,6 +481,7 @@ def run_fused_chunk(
     grid_n: int = 0,
     fp32_dots: bool = False,
     packed_noise: bool | None = None,
+    external_raw_noise: Tuple[jax.Array, jax.Array] | None = None,
 ):
     """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
 
@@ -480,17 +499,34 @@ def run_fused_chunk(
     dim fits a half-lane window; MIXED-dimension grid callers must decide
     from the max over their rows and pass the bool explicitly, because the
     static args here describe only row 0's layout.
+
+    ``external_raw_noise=(A, B)`` — test hook: the two buffers are the raw
+    per-step Box-Muller pair and the kernel runs the PACKED lane-window
+    derivation on them verbatim (see _make_kernel ``raw_noise``), so the
+    packed branch's window arithmetic is pinnable on CPU interpret, where
+    the in-kernel PRNG can't execute. Mutually exclusive with
+    ``external_noise``; requires packed-eligible dims.
     """
-    if packed_noise is None:
+    raw = external_raw_noise is not None
+    if raw:
+        if external_noise is not None:
+            raise ValueError("external_raw_noise excludes external_noise")
+        if not packed_noise_ok(data_dim, latent_dim, intrinsic_dim):
+            raise ValueError("external_raw_noise needs packed-eligible dims")
+        a_blk, b_blk = external_raw_noise
+        # third buffer unused in raw mode; keeps the (xn, z1n, z2n) plumbing
+        external_noise = (a_blk, b_blk, jnp.zeros_like(a_blk))
+        packed_noise = True
+    elif packed_noise is None:
         packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
-    packed_noise = packed_noise and external_noise is None
+    packed_noise = packed_noise and (raw or external_noise is None)
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None,
         dataset_kind=dataset_kind, dual=dual, grid=grid_n > 0,
-        fp32_dots=fp32_dots, packed_noise=packed_noise,
+        fp32_dots=fp32_dots, packed_noise=packed_noise, raw_noise=raw,
     )
     lead = (grid_n,) if grid_n else ()
     blead = (1,) if grid_n else ()

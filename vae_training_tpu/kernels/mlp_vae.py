@@ -52,7 +52,9 @@ from .linear_vae import (
     row_tile,
 )
 
-LANE = 128
+# the MLP kernel's lane width IS linear_vae's N: packed_noise_ok and the
+# packed windows (LANE // 2 rolls) assume the same half-lane gate
+from .linear_vae import N as LANE  # noqa: E402
 
 
 def pad_dim(d: int) -> int:
@@ -86,6 +88,7 @@ def _make_kernel(
     dual: bool = False,  # sigmoid-dataset decoder pair: x̂ = σ(Sig(s)) + Dec(s)
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
     packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
+    raw_noise: bool = False,  # external blocks are the RAW Box-Muller pair
 ):
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
@@ -214,51 +217,56 @@ def _make_kernel(
             g_in = dot_t2(g, ws[0])
             return g_ws, g_bs, g_in
 
+        def manifold_x(n_int):
+            if dataset_kind == "sphere":
+                norm2 = jnp.sum(n_int * n_int, axis=1, keepdims=True)
+                x = n_int * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
+                return x * int_m  # live cols only (dim == intrinsic here)
+            if dataset_kind == "sigmoid":
+                # Y = [z, σ(z·A), 0-pad]: A's column sits at a_t[:, dim]
+                # so the matmul lands the logit in the σ-coordinate col
+                logit = dotf(n_int, a_t)
+                return n_int + jax.nn.sigmoid(logit) * sig_col_m
+            return dotf(n_int, a_t)
+
+        def packed_sample(n_raw, z1_raw):
+            # Packed mode (see kernels/linear_vae.py for the full
+            # rationale): ONE Box-Muller pair supplies every noise consumer
+            # from disjoint lane windows — manifold draw from block A's
+            # UPPER half (repositioned by a static half-width lane roll),
+            # z2 from A's lower half, z1 from B's lower half, observation
+            # noise from B's upper half. Callers gate on every dim <=
+            # LANE // 2 so the windows never overlap; the per-step PRNG +
+            # transcendental work halves, statistics unchanged. Shared by
+            # the production path and the raw_noise test hook.
+            n_int = pltpu.roll(n_raw, shift=LANE // 2, axis=1) * int_m
+            x = manifold_x(n_int) * row_m
+            z1 = z1_raw * lat_m * row_m
+            z2 = n_raw * dat_m * row_m
+            if dataset_kind == "linear" and var_added > 0.0:
+                var_blk = pltpu.roll(z1_raw, shift=LANE // 2, axis=1)
+                x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
+            return x, z1, z2
+
         def body(i, carry):
             (ws, bs, vec, mws, mbs, mvec, vws, vbs, vvec) = carry
             t = t0 + i.astype(jnp.float32) + 1.0
 
-            if external_noise:
+            if external_noise and raw_noise:
+                # packed derivation from caller-supplied raw pair (test hook)
+                x, z1, z2 = packed_sample(ldn(xn_ref, i), ldn(z1n_ref, i))
+            elif external_noise:
                 x = ldn(xn_ref, i)
                 z1 = ldn(z1n_ref, i)
                 z2 = ldn(z2n_ref, i)
+            elif packed_noise:
+                n_raw, z1_raw = _normal_block_pair(rows)
+                x, z1, z2 = packed_sample(n_raw, z1_raw)
             else:
                 n_raw, z1_raw = _normal_block_pair(rows)
-                if packed_noise:
-                    # Packed mode (see kernels/linear_vae.py for the full
-                    # rationale): this ONE Box-Muller pair supplies every
-                    # noise consumer from disjoint lane windows — manifold
-                    # draw from block A's UPPER half (repositioned by a
-                    # static half-width lane roll), z2 from A's lower half,
-                    # z1 from B's lower half, observation noise from B's
-                    # upper half. Callers gate on every dim <= LANE // 2 so
-                    # the windows never overlap; the per-step PRNG +
-                    # transcendental work halves, statistics unchanged.
-                    n_src = pltpu.roll(n_raw, shift=LANE // 2, axis=1)
-                else:
-                    n_src = n_raw
-                if dataset_kind == "sphere":
-                    g = n_src * int_m
-                    norm2 = jnp.sum(g * g, axis=1, keepdims=True)
-                    x = g * jax.lax.rsqrt(jnp.maximum(norm2, 1e-20))
-                    x = x * int_m  # live cols only (dim == intrinsic here)
-                elif dataset_kind == "sigmoid":
-                    # Y = [z, σ(z·A), 0-pad]: A's column sits at a_t[:, dim]
-                    # so the matmul lands the logit in the σ-coordinate col
-                    n_int = n_src * int_m
-                    logit = dotf(n_int, a_t)
-                    x = n_int + jax.nn.sigmoid(logit) * sig_col_m
-                else:
-                    n_int = n_src * int_m
-                    x = dotf(n_int, a_t)
-                x = x * row_m
+                x = manifold_x(n_raw * int_m) * row_m
                 z1 = z1_raw * lat_m * row_m
-                if packed_noise:
-                    z2 = n_raw * dat_m * row_m
-                    if dataset_kind == "linear" and var_added > 0.0:
-                        var_blk = pltpu.roll(z1_raw, shift=LANE // 2, axis=1)
-                        x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
-                elif dataset_kind == "linear" and var_added > 0.0:
+                if dataset_kind == "linear" and var_added > 0.0:
                     # pair z2 with the observation noise: one transform
                     z2_raw, var_raw = _normal_block_pair(rows)
                     x = (x + var_raw * dat_m * row_m
@@ -502,15 +510,27 @@ def run_mlp_fused_chunk(
     dual: bool = False,
     fp32_dots: bool = False,
     packed_noise: bool | None = None,
+    external_raw_noise=None,
 ):
     # packed_noise=None (auto) enables the packed in-kernel noise draw when
     # every static dim fits a half-lane window; MIXED-dimension grid callers
     # must decide from the max over their rows and pass the bool explicitly
-    # (the static dims here describe only row 0's layout). See
-    # linear_vae.run_fused_chunk for the full contract.
-    if packed_noise is None:
+    # (the static dims here describe only row 0's layout).
+    # external_raw_noise=(A, B) is the raw-pair test hook that runs the
+    # PACKED window derivation on caller-supplied blocks. See
+    # linear_vae.run_fused_chunk for the full contract of both.
+    raw = external_raw_noise is not None
+    if raw:
+        if external_noise is not None:
+            raise ValueError("external_raw_noise excludes external_noise")
+        if not packed_noise_ok(data_dim, latent_dim, intrinsic_dim):
+            raise ValueError("external_raw_noise needs packed-eligible dims")
+        a_blk, b_blk = external_raw_noise
+        external_noise = (a_blk, b_blk, jnp.zeros_like(a_blk))
+        packed_noise = True
+    elif packed_noise is None:
         packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
-    packed_noise = packed_noise and external_noise is None
+    packed_noise = packed_noise and (raw or external_noise is None)
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, enc_dims=list(enc_dims), dec_dims=list(dec_dims),
@@ -518,6 +538,7 @@ def run_mlp_fused_chunk(
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None, grid=grid_n > 0,
         dual=dual, fp32_dots=fp32_dots, packed_noise=packed_noise,
+        raw_noise=raw,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]
