@@ -199,6 +199,8 @@ def _make_kernel(
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
     packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
     raw_noise: bool = False,  # external blocks are the RAW Box-Muller pair
+    we_rows: int = N,  # 8-aligned live-row bound of We (>= every data_dim)
+    wd_rows: int = N,  # 8-aligned live-row bound of Wd/Ws (>= every latent)
 ):
     """Build the kernel body. ``external_noise`` replaces the in-kernel PRNG
     with caller-supplied noise blocks — the test hook that lets the math be
@@ -317,9 +319,28 @@ def _make_kernel(
                 x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
             return x, z1, z2
 
+        # Adam live-row slicing: weight rows beyond the data/latent dims
+        # carry zero params, zero moments, and provably-zero gradients, so
+        # their Adam update is the identity — the loop carries only the
+        # live 8-aligned row slices (wb rows of We, lb of Wd/Ws) and the
+        # elementwise Adam work shrinks ~3x. The dots still need full
+        # (N, N) operands; _full() reassembles them from the live slice +
+        # a zeros block (cheap stores vs ~12 Adam ops per skipped row).
+        # Bitwise-exact: x/z1 lanes beyond the dims are masked to zero, so
+        # 0-row weights contribute exact zeros to every contraction.
+        wb, lb = we_rows, wd_rows
+        sb = lb if dual else N  # Ws is live only in dual mode
+
+        def _full(p, b):
+            if b >= N:
+                return p
+            return jnp.concatenate(
+                [p, jnp.zeros((N - b, N), jnp.float32)], axis=0)
+
         def body(i, carry):
             (we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws,
              mvec, vvec) = carry
+            we_f, wd_f, ws_f = _full(we, wb), _full(wd, lb), _full(ws, sb)
             t = t0 + i.astype(jnp.float32) + 1.0
 
             # --- sample (on-device dataset + prior noise) ---------------
@@ -356,13 +377,13 @@ def _make_kernel(
                 eps = jnp.float32(eps_const)
 
             # --- forward -------------------------------------------------
-            mu = jnp.dot(x, we, preferred_element_type=jnp.float32, precision=prec) + be
+            mu = jnp.dot(x, we_f, preferred_element_type=jnp.float32, precision=prec) + be
             mu = mu * row_m  # padded batch rows see bias; mask them out
             sdev = jnp.exp(ep * 0.5) * lat_m  # e^{ep/2} on live cols, 0 pad
             s = mu + sdev * z1
-            y = jnp.dot(s, wd, preferred_element_type=jnp.float32, precision=prec) + bd
+            y = jnp.dot(s, wd_f, preferred_element_type=jnp.float32, precision=prec) + bd
             if dual:
-                u = jnp.dot(s, ws, preferred_element_type=jnp.float32, precision=prec) + bs_row(vec)
+                u = jnp.dot(s, ws_f, preferred_element_type=jnp.float32, precision=prec) + bs_row(vec)
                 sig_u = jax.nn.sigmoid(u)
                 # mask: padded output cols would otherwise get σ(0)=0.5
                 y = y + sig_u * dat_m
@@ -395,7 +416,7 @@ def _make_kernel(
             g_bd = jnp.sum(g_y, axis=0, keepdims=True)
             # g_s = g_y·Wdᵀ (contract data dim)
             g_s = jax.lax.dot_general(
-                g_y, wd, (((1,), (1,)), ((), ())),
+                g_y, wd_f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             if dual:
                 g_u = g_y * sig_u * (1.0 - sig_u) * dat_m
@@ -404,7 +425,7 @@ def _make_kernel(
                     preferred_element_type=jnp.float32, precision=prec)
                 g_bs = jnp.sum(g_u, axis=0, keepdims=True)
                 g_s = g_s + jax.lax.dot_general(
-                    g_u, ws, (((1,), (1,)), ((), ())),
+                    g_u, ws_f, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
             else:
                 g_ws = jnp.zeros((N, N), jnp.float32)
@@ -430,21 +451,29 @@ def _make_kernel(
                  jnp.zeros((3, N), jnp.float32)],
                 axis=0)
 
-            # --- Adam (optax.adam formula) --------------------------------
-            we, mwe, vwe = _adam(we, mwe, vwe, g_we, t, lr)
-            wd, mwd, vwd = _adam(wd, mwd, vwd, g_wd, t, lr)
+            # --- Adam (optax.adam formula), live rows only -----------------
+            we, mwe, vwe = _adam(we, mwe, vwe, g_we[:wb], t, lr)
+            wd, mwd, vwd = _adam(wd, mwd, vwd, g_wd[:lb], t, lr)
             if dual:
-                ws, mws, vws = _adam(ws, mws, vws, g_ws, t, lr)
+                ws, mws, vws = _adam(ws, mws, vws, g_ws[:sb], t, lr)
             vec, mvec, vvec = _adam(vec, mvec, vvec, g_vec, t, lr)
             return we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
 
         ins = (we_ref, wd_ref, ws_ref, vec_ref, mwe_ref, vwe_ref,
                mwd_ref, vwd_ref, mws_ref, vws_ref, mvec_ref, vvec_ref)
-        init = tuple(ld(r) for r in ins)
+        # live-row bound per carry slot (N = carry the full buffer)
+        bounds = (wb, lb, sb, N, wb, wb, lb, lb, sb, sb, N, N)
+        init = tuple(ld(r)[:b] if b < N else ld(r)
+                     for r, b in zip(ins, bounds))
         out = jax.lax.fori_loop(0, n_steps, body, init)
         outs = (we_out, wd_out, ws_out, vec_out, mwe_out, vwe_out,
                 mwd_out, vwd_out, mws_out, vws_out, mvec_out, vvec_out)
-        for dst, val in zip(outs, out):
+        for dst, val, b in zip(outs, out, bounds):
+            if b < N:
+                # rows beyond the live bound are zero by the padding
+                # invariant (asserted by test_padded_regions_stay_zero)
+                val = jnp.concatenate(
+                    [val, jnp.zeros((N - b, N), jnp.float32)], axis=0)
             if grid:
                 dst[0] = val
             else:
@@ -482,6 +511,7 @@ def run_fused_chunk(
     fp32_dots: bool = False,
     packed_noise: bool | None = None,
     external_raw_noise: Tuple[jax.Array, jax.Array] | None = None,
+    adam_rows: Tuple[int, int] | None = None,
 ):
     """Invoke the fused kernel for one chunk. Returns (new_buffers, losses).
 
@@ -520,6 +550,13 @@ def run_fused_chunk(
     elif packed_noise is None:
         packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
     packed_noise = packed_noise and (raw or external_noise is None)
+    # Adam live-row bounds (8-aligned): We's rows span data_dim, Wd/Ws's
+    # span latent_dim. MIXED-dimension grid callers must pass the max over
+    # their rows via adam_rows — the static dims here describe only row 0.
+    if adam_rows is None:
+        adam_rows = (data_dim, latent_dim)
+    we_rows = min(N, ((adam_rows[0] + 7) // 8) * 8)
+    wd_rows = min(N, ((adam_rows[1] + 7) // 8) * 8)
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, intrinsic_dim=intrinsic_dim,
@@ -527,6 +564,7 @@ def run_fused_chunk(
         external_noise=external_noise is not None,
         dataset_kind=dataset_kind, dual=dual, grid=grid_n > 0,
         fp32_dots=fp32_dots, packed_noise=packed_noise, raw_noise=raw,
+        we_rows=we_rows, wd_rows=wd_rows,
     )
     lead = (grid_n,) if grid_n else ()
     blead = (1,) if grid_n else ()

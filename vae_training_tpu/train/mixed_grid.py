@@ -256,6 +256,9 @@ class MixedGridSweep:
         packed_noise = packed_noise_ok(
             *(d for dims in group_dims for d in dims))
         self._packed_noise = packed_noise
+        # Adam live-row bounds must also cover EVERY row (max data/latent)
+        adam_rows = (max(d[0] for d in group_dims),
+                     max(d[1] for d in group_dims))
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
@@ -289,7 +292,7 @@ class MixedGridSweep:
                     grid_n=seeds_r.shape[0], interpret=interpret,
                     external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
-                    packed_noise=packed_noise,
+                    packed_noise=packed_noise, adam_rows=adam_rows,
                 )
 
             noise_ops = tuple(external_noise) if external_noise else ()
