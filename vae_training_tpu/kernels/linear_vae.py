@@ -290,6 +290,15 @@ def _make_kernel(
         # suite) is exact fp32 in both modes.
         prec = jax.lax.Precision.HIGHEST if fp32_dots else None
 
+        # combined column×row masks, hoisted out of the step loop: one VPU
+        # multiply per noise consumer instead of two. Bitwise-safe — masks
+        # are exactly 0.0/1.0, so the product order cannot round. The var
+        # scale folds into its mask the same way (0·c and 1·c are exact).
+        latrow_m = lat_m * row_m
+        datrow_m = dat_m * row_m
+        if dataset_kind == "linear" and var_added > 0.0:
+            var_m = datrow_m * math.sqrt(var_added)
+
         def manifold_x(n_int):
             if dataset_kind == "sigmoid":
                 logit = jnp.dot(n_int, a_t,
@@ -312,11 +321,11 @@ def _make_kernel(
             # is shared by the production path and the raw_noise test hook.
             n_int = pltpu.roll(n_raw, shift=N // 2, axis=1) * int_m
             x = manifold_x(n_int) * row_m
-            z1 = z1_raw * lat_m * row_m
-            z2 = n_raw * dat_m * row_m
+            z1 = z1_raw * latrow_m
+            z2 = n_raw * datrow_m
             if dataset_kind == "linear" and var_added > 0.0:
                 var_blk = pltpu.roll(z1_raw, shift=N // 2, axis=1)
-                x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
+                x = x + var_blk * var_m
             return x, z1, z2
 
         # Adam live-row slicing: weight rows beyond the data/latent dims
@@ -358,15 +367,14 @@ def _make_kernel(
                 n_raw, z1_raw = _normal_block_pair(rows)
                 n_int = n_raw * int_m
                 x = manifold_x(n_int) * row_m
-                z1 = z1_raw * lat_m * row_m
+                z1 = z1_raw * latrow_m
                 if dataset_kind == "linear" and var_added > 0.0:
                     # pair z2 with the observation noise: one transform
                     z2_raw, var_raw = _normal_block_pair(rows)
-                    x = (x + var_raw * dat_m * row_m
-                         * math.sqrt(var_added))
-                    z2 = z2_raw * dat_m * row_m
+                    x = x + var_raw * var_m
+                    z2 = z2_raw * datrow_m
                 else:
-                    z2 = _normal_block(rows) * dat_m * row_m
+                    z2 = _normal_block(rows) * datrow_m
 
             be = vec[ROW_BE:ROW_BE + 1, :]
             bd = vec[ROW_BD:ROW_BD + 1, :]
