@@ -256,3 +256,21 @@ def test_mixed_sweep_packed_gate_scans_all_rows(tmp_outdir):
     assert big.data_dim == 70  # > N // 2: must veto packing launch-wide
     sweep2 = MixedGridSweep([small, big], interpret=True)
     assert sweep2._packed_noise is False
+
+
+def test_mixed_sweep_adam_rows_cover_all_rows(tmp_outdir):
+    """The Adam live-row bounds (kernels/linear_vae run_fused_chunk
+    adam_rows) must cover EVERY row's data/latent dims in a mixed launch —
+    a bound from row 0 alone would freeze a bigger row's tail weights."""
+    from vae_training_tpu.train.mixed_grid import MixedGridSweep
+
+    small = GridTrainer(make_cfg(tmp_outdir, name="ar_s"), [2])
+    big = GridTrainer(
+        make_cfg(tmp_outdir, name="ar_b", dataset_dimension=9,
+                 dataset_intrinsic_dimension=3, padding_dim=8,
+                 latent_dimension=14),
+        [2])
+    sweep = MixedGridSweep([small, big], interpret=True)
+    assert sweep._adam_rows == (max(small.data_dim, big.data_dim),
+                                max(small.latent_dim, big.latent_dim))
+    assert sweep._adam_rows == (17, 14)

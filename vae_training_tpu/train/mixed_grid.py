@@ -256,9 +256,11 @@ class MixedGridSweep:
         packed_noise = packed_noise_ok(
             *(d for dims in group_dims for d in dims))
         self._packed_noise = packed_noise
-        # Adam live-row bounds must also cover EVERY row (max data/latent)
+        # Adam live-row bounds must also cover EVERY row (max data/latent);
+        # a bound below any row's dims would freeze that row's tail weights
         adam_rows = (max(d[0] for d in group_dims),
                      max(d[1] for d in group_dims))
+        self._adam_rows = adam_rows
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
