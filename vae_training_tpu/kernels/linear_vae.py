@@ -563,13 +563,18 @@ def run_fused_chunk(
         external_noise = (a_blk, b_blk, jnp.zeros_like(a_blk))
         packed_noise = True
     elif packed_noise is None:
-        packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
+        # grid rows can carry DIFFERENT dims (scalar-prefetched) while the
+        # static args describe only row 0 — so in grid mode the auto gate
+        # is conservative (off) and grid callers opt in with bounds that
+        # cover every row (train/grid.py uniform dims; mixed_grid maxes)
+        packed_noise = (grid_n == 0 and
+                        packed_noise_ok(data_dim, latent_dim, intrinsic_dim))
     packed_noise = packed_noise and (raw or external_noise is None)
     # Adam live-row bounds (8-aligned): We's rows span data_dim, Wd/Ws's
-    # span latent_dim. MIXED-dimension grid callers must pass the max over
-    # their rows via adam_rows — the static dims here describe only row 0.
+    # span latent_dim. Same grid-mode conservatism: a bound below any
+    # row's dims would silently freeze that row's tail weights.
     if adam_rows is None:
-        adam_rows = (data_dim, latent_dim)
+        adam_rows = (data_dim, latent_dim) if grid_n == 0 else (N, N)
     we_rows = min(N, ((adam_rows[0] + 7) // 8) * 8)
     wd_rows = min(N, ((adam_rows[1] + 7) // 8) * 8)
     kernel = _make_kernel(

@@ -89,6 +89,8 @@ def _make_kernel(
     fp32_dots: bool = False,  # Precision.HIGHEST matmuls (--precision fp32)
     packed_noise: bool = False,  # one Box-Muller pair feeds ALL noise lanes
     raw_noise: bool = False,  # external blocks are the RAW Box-Muller pair
+    l0_in_rows: Tuple[int, int] = (LANE, LANE),  # Adam live-row bounds for
+    # the stacks' FIRST layers (enc: data rows, dec/sig: latent rows)
 ):
     if batch > LANE:
         raise ValueError(f"fused kernel supports batch <= {LANE}, got {batch}")
@@ -102,6 +104,22 @@ def _make_kernel(
     # activation/noise blocks span only the batch's 8-aligned row tile (in
     # test mode too, so the equivalence suite exercises the tiled path)
     rows = row_tile(batch)
+
+    # Adam live-row slicing (see linear_vae._make_kernel for the full
+    # rationale): only the stacks' FIRST layers pay — their input rows
+    # span data_dim/latent_dim (~24 live of a 128-row buffer) while hidden
+    # layers are 208/256 live, where the operand-rebuild stores cost what
+    # the slicing saves. The gate b*2 <= pin keeps exactly those wins.
+    w_shapes = _padded_layer_shapes(enc_dims, dec_dims, dual)
+    w_bounds = []
+    for li, (pin, pout) in enumerate(w_shapes):
+        if li == 0:
+            b = l0_in_rows[0]
+        elif li == n_enc or (dual and li == n_enc + n_dec):
+            b = l0_in_rows[1]
+        else:
+            b = pin
+        w_bounds.append(b if b * 2 <= pin else pin)
 
     def kernel(seed_ref, *refs):
         # ref layout: a_t, Ws(n_w), bs(n_w), vec, mWs, mbs, mvec, vWs, vbs,
@@ -248,8 +266,16 @@ def _make_kernel(
                 x = x + var_blk * dat_m * row_m * math.sqrt(var_added)
             return x, z1, z2
 
+        def wfull(w, li):
+            b, (pin, pout) = w_bounds[li], w_shapes[li]
+            if b >= pin:
+                return w
+            return jnp.concatenate(
+                [w, jnp.zeros((pin - b, pout), jnp.float32)], axis=0)
+
         def body(i, carry):
             (ws, bs, vec, mws, mbs, mvec, vws, vbs, vvec) = carry
+            ws_f = tuple(wfull(w, li) for li, w in enumerate(ws))
             t = t0 + i.astype(jnp.float32) + 1.0
 
             if external_noise and raw_noise:
@@ -275,12 +301,12 @@ def _make_kernel(
                 else:
                     z2 = _normal_block(rows) * dat_m * row_m
 
-            be_w = ws[:n_enc]
+            be_w = ws_f[:n_enc]
             be_b = bs[:n_enc]
-            de_w = ws[n_enc:n_enc + n_dec]
+            de_w = ws_f[n_enc:n_enc + n_dec]
             de_b = bs[n_enc:n_enc + n_dec]
             if dual:
-                sg_w = ws[n_enc + n_dec:]
+                sg_w = ws_f[n_enc + n_dec:]
                 sg_b = bs[n_enc + n_dec:]
 
             ep = vec[2:3, :] * lat_m
@@ -345,7 +371,8 @@ def _make_kernel(
             new_ws, new_mws, new_vws = [], [], []
             new_bs, new_mbs, new_vbs = [], [], []
             for li in range(n_w):
-                p_, m_, v_ = _adam(ws[li], mws[li], vws[li], g_all_w[li], t, lr)
+                p_, m_, v_ = _adam(ws[li], mws[li], vws[li],
+                                   g_all_w[li][:w_bounds[li]], t, lr)
                 new_ws.append(p_); new_mws.append(m_); new_vws.append(v_)
                 p_, m_, v_ = _adam(bs[li], mbs[li], vbs[li], g_all_b[li], t, lr)
                 new_bs.append(p_); new_mbs.append(m_); new_vbs.append(v_)
@@ -354,12 +381,18 @@ def _make_kernel(
                     tuple(new_mws), tuple(new_mbs), mvec,
                     tuple(new_vws), tuple(new_vbs), vvec)
 
+        def ldw(r, li):
+            return ld(r)[: w_bounds[li]]
+
         init = (
-            tuple(ld(r) for r in w_refs), tuple(ld(r) for r in b_refs),
+            tuple(ldw(r, li) for li, r in enumerate(w_refs)),
+            tuple(ld(r) for r in b_refs),
             ld(vec_ref),
-            tuple(ld(r) for r in mw_refs), tuple(ld(r) for r in mb_refs),
+            tuple(ldw(r, li) for li, r in enumerate(mw_refs)),
+            tuple(ld(r) for r in mb_refs),
             ld(mvec_ref),
-            tuple(ld(r) for r in vw_refs), tuple(ld(r) for r in vb_refs),
+            tuple(ldw(r, li) for li, r in enumerate(vw_refs)),
+            tuple(ld(r) for r in vb_refs),
             ld(vvec_ref),
         )
         out = jax.lax.fori_loop(0, n_steps, body, init)
@@ -370,10 +403,21 @@ def _make_kernel(
             else:
                 dst[:] = val
 
+        def stw(dst, val, li):
+            # rows beyond the live bound are zero by the padding invariant
+            b, (pin, pout) = w_bounds[li], w_shapes[li]
+            if b < pin:
+                val = jnp.concatenate(
+                    [val, jnp.zeros((pin - b, pout), jnp.float32)], axis=0)
+            st(dst, val)
+
         for group_out, group_val in (
-            (out_w, out[0]), (out_b, out[1]),
-            (out_mw, out[3]), (out_mb, out[4]),
-            (out_vw, out[6]), (out_vb, out[7]),
+            (out_w, out[0]), (out_mw, out[3]), (out_vw, out[6]),
+        ):
+            for li, (dst, val) in enumerate(zip(group_out, group_val)):
+                stw(dst, val, li)
+        for group_out, group_val in (
+            (out_b, out[1]), (out_mb, out[4]), (out_vb, out[7]),
         ):
             for dst, val in zip(group_out, group_val):
                 st(dst, val)
@@ -511,6 +555,7 @@ def run_mlp_fused_chunk(
     fp32_dots: bool = False,
     packed_noise: bool | None = None,
     external_raw_noise=None,
+    adam_l0: Tuple[int, int] | None = None,
 ):
     # packed_noise=None (auto) enables the packed in-kernel noise draw when
     # every static dim fits a half-lane window; MIXED-dimension grid callers
@@ -519,6 +564,9 @@ def run_mlp_fused_chunk(
     # external_raw_noise=(A, B) is the raw-pair test hook that runs the
     # PACKED window derivation on caller-supplied blocks. See
     # linear_vae.run_fused_chunk for the full contract of both.
+    # adam_l0=(data_in, latent_in) bounds the FIRST layers' Adam live rows;
+    # mixed-dimension grid callers pass the max over their rows (same
+    # contract as linear_vae's adam_rows).
     raw = external_raw_noise is not None
     if raw:
         if external_noise is not None:
@@ -529,8 +577,15 @@ def run_mlp_fused_chunk(
         external_noise = (a_blk, b_blk, jnp.zeros_like(a_blk))
         packed_noise = True
     elif packed_noise is None:
-        packed_noise = packed_noise_ok(data_dim, latent_dim, intrinsic_dim)
+        # conservative in grid mode — static dims describe only row 0
+        # (see linear_vae.run_fused_chunk); grid callers opt in explicitly
+        packed_noise = (grid_n == 0 and
+                        packed_noise_ok(data_dim, latent_dim, intrinsic_dim))
     packed_noise = packed_noise and (raw or external_noise is None)
+    if adam_l0 is None:
+        adam_l0 = ((enc_dims[0][0], dec_dims[0][0]) if grid_n == 0
+                   else (LANE, LANE))
+    l0_in_rows = (((adam_l0[0] + 7) // 8) * 8, ((adam_l0[1] + 7) // 8) * 8)
     kernel = _make_kernel(
         n_steps=n_steps, batch=batch, data_dim=data_dim,
         latent_dim=latent_dim, enc_dims=list(enc_dims), dec_dims=list(dec_dims),
@@ -538,7 +593,7 @@ def run_mlp_fused_chunk(
         var_added=var_added, eps_const=eps_const, tdv=tdv, lr=lr,
         external_noise=external_noise is not None, grid=grid_n > 0,
         dual=dual, fp32_dots=fp32_dots, packed_noise=packed_noise,
-        raw_noise=raw,
+        raw_noise=raw, l0_in_rows=l0_in_rows,
     )
     (pw, pb, pvec, mw, mb, mvec, vw, vb, vvec) = packed
     state_arrays = [*pw, *pb, pvec, *mw, *mb, mvec, *vw, *vb, vvec]

@@ -427,6 +427,7 @@ class GridTrainer:
             grid_seed_rows,
             manifold_rows,
             pack_state,
+            packed_noise_ok,
             pallas_supported,
             run_fused_chunk,
             unpack_state,
@@ -462,6 +463,11 @@ class GridTrainer:
                 grid_n=grid_n, interpret=interpret,
                 external_noise=tuple(noise) if noise else None,
                 fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
+                # uniform rows: the static dims ARE every row's dims, so
+                # the solo gates apply (grid mode defaults conservatively)
+                packed_noise=packed_noise_ok(data_dim, latent_dim,
+                                             intrinsic_dim),
+                adam_rows=(data_dim, latent_dim),
             )
             new_grid = jax.vmap(
                 lambda st, *bufs: unpack_state(
@@ -476,7 +482,11 @@ class GridTrainer:
                                      external_noise=None):
         """Grid mode of the fused MLP kernel (sphere/linear/sigmoid MLPs).
         ``interpret``/``external_noise`` as in _build_pallas_grid_chunk."""
-        from ..kernels.linear_vae import grid_seed_rows, manifold_rows
+        from ..kernels.linear_vae import (
+            grid_seed_rows,
+            manifold_rows,
+            packed_noise_ok,
+        )
         from ..kernels.mlp_vae import (
             LANE,
             _layer_dims,
@@ -520,6 +530,9 @@ class GridTrainer:
                 interpret=interpret,
                 external_noise=tuple(noise) if noise else None,
                 fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
+                packed_noise=packed_noise_ok(data_dim, latent_dim,
+                                             intrinsic_dim),
+                adam_l0=(enc_dims[0][0], dec_dims[0][0]),
             )
             new_grid = jax.vmap(
                 lambda st, pw, pb, pvec, mw, mb, mvec, vw, vb, vvec:

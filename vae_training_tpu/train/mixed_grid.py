@@ -358,6 +358,10 @@ class MixedGridSweep:
             *(d for dd, ldim, idim, _, _ in group_meta
               for d in (dd, ldim, idim)))
         self._packed_noise = packed_noise
+        # first-layer Adam live-row bounds cover EVERY row (max data/latent)
+        adam_l0 = (max(m[0] for m in group_meta),
+                   max(m[1] for m in group_meta))
+        self._adam_rows = adam_l0
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state_grids",))
@@ -391,7 +395,7 @@ class MixedGridSweep:
                     grid_n=seeds_r.shape[0], dual=dual, interpret=interpret,
                     external_noise=tuple(noise_r) if noise_r else None,
                     fp32_dots=getattr(cfg, "precision", "bf16") == "fp32",
-                    packed_noise=packed_noise,
+                    packed_noise=packed_noise, adam_l0=adam_l0,
                 )
 
             noise_ops = tuple(external_noise) if external_noise else ()
