@@ -298,6 +298,11 @@ def main() -> int:
                         "available), xla (the scan path — the comparison "
                         "column in PARITY), pallas (require the fused "
                         "kernel).")
+    p.add_argument("--min", dest="min_steps", type=float, default=None,
+                   help="Perf-regression floor: exit nonzero (3) if the "
+                        "measured steps/sec falls below this value. The "
+                        "JSON line is still printed. Used by the verify "
+                        "skill to guard the headline numbers.")
     args = p.parse_args()
 
     enable_compile_cache()
@@ -354,6 +359,10 @@ def main() -> int:
             }
         )
     )
+    if args.min_steps is not None and steps_per_sec < args.min_steps:
+        log(f"PERF REGRESSION: {steps_per_sec:.0f} steps/sec is below the "
+            f"--min {args.min_steps:.0f} floor")
+        return 3
     return 0
 
 
@@ -426,6 +435,13 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
                 if outcome.returncode == 2:
                     # argparse usage errors are deterministic — retrying
                     # re-prints the same usage message 2 more times
+                    return last_code
+                if outcome.returncode == 3:
+                    # --min floor violation: the measurement itself
+                    # succeeded — re-emit its JSON line and fail fast
+                    lines = [l for l in out.splitlines() if l.strip()]
+                    if lines:
+                        print(lines[-1], flush=True)
                     return last_code
         if attempt < attempts:
             time.sleep(retry_delay)

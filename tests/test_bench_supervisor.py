@@ -103,6 +103,29 @@ def test_usage_error_is_not_retried(tmp_path, capfd, monkeypatch):
     assert err.count("usage:") == 1  # one attempt, not three
 
 
+def test_min_floor_violation_fails_fast_with_json(tmp_path, capfd,
+                                                  monkeypatch):
+    """--min regressions (exit 3) are a successful measurement below the
+    floor: the supervisor must re-emit the JSON line, not retry, and
+    propagate the nonzero exit."""
+    monkeypatch.setenv("VAE_BENCH_RETRY_DELAY", "0")
+    argv = child_script(
+        tmp_path,
+        """
+        import sys
+        print("devices: [FakeDevice(0)]", file=sys.stderr)
+        print('{"metric": "m", "value": 3.0}')
+        print("PERF REGRESSION: below floor", file=sys.stderr)
+        sys.exit(3)
+        """,
+    )
+    rc = bench.supervise(argv, init_timeout=30, total_timeout=60, attempts=3)
+    out, err = capfd.readouterr()
+    assert rc == 3
+    assert json.loads(out.strip())["value"] == 3.0  # measurement preserved
+    assert err.count("child exited 3") == 1  # no pointless retries
+
+
 def test_non_json_stdout_passes_through(tmp_path, capfd):
     """--help-style output (multi-line, no JSON) must reach the caller
     verbatim, not be collapsed to its last line."""

@@ -37,6 +37,18 @@ def test_parse_mesh_spec():
     assert mesh.shape["dp"] == 8
 
 
+def test_mesh_wildcard_uneven_requires_opt_in():
+    """A -1 wildcard that would idle devices is an error by default
+    (silent throughput loss); --mesh_allow_uneven opts in explicitly."""
+    devices = jax.devices()[:7]  # 7 devices, tp=2 -> dp=-1 resolves to 3
+    with pytest.raises(ValueError, match="mesh_allow_uneven"):
+        make_mesh("dp=-1,tp=2", devices=devices)
+    mesh = make_mesh("dp=-1,tp=2", devices=devices, allow_uneven=True)
+    assert mesh.shape["dp"] == 3 and mesh.shape["tp"] == 2
+    # an exactly-divisible wildcard never needs the opt-in
+    assert make_mesh("dp=-1", devices=jax.devices()[:4]).shape["dp"] == 4
+
+
 def _make_state(model, dataset, tx, latent_dim):
     key = jax.random.PRNGKey(0)
     data_dim = dataset.dimension

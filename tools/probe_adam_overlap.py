@@ -13,12 +13,13 @@ drops toward max(Adam, dots) ~ 3.7 us (~+60%). If time(interleaved) ==
 time(tail), source order doesn't reach the hardware and the kernel stays
 as-is.
 
-Both variants execute IDENTICAL dataflow: 24 serially-dependent
-104x256x256 dots per step consuming the step's initial weights, plus one
-Adam update per (256,256) buffer x8 whose gradient depends on the chain's
-progress at that buffer's position (matching the real backward structure:
-grad d is ready after dot 3d+2). Only the source order of the Adam ops
-differs: tail (variant A) vs interleaved every 3 dots (variant B).
+Both variants execute IDENTICAL dataflow: N_BUF*DOTS_PER_BUF (25)
+serially-dependent 104x256x256 dots per step consuming the step's initial
+weights, plus one Adam update per (256,256) buffer x N_BUF (5) whose
+gradient depends on the chain's progress at that buffer's position
+(matching the real backward structure: grad d is ready after dot 5d+4).
+Only the source order of the Adam ops differs: tail (variant A) vs
+interleaved every DOTS_PER_BUF (5) dots (variant B).
 
 Usage: python tools/probe_adam_overlap.py [n_steps]
 """
@@ -63,7 +64,7 @@ def _kernel(n_steps: int, interleave: bool):
 
             def grad_for(d, h_now):
                 # (256,256) grad depending on the chain's progress at dot
-                # 3d+2 — a VPU reduce+broadcast, identical in both variants
+                # 5d+4 — a VPU reduce+broadcast, identical in both variants
                 col = jnp.mean(h_now, axis=0, keepdims=True)
                 return jnp.broadcast_to(col, (W, W)) * (1e-6 * (d + 1))
 

@@ -51,6 +51,10 @@ class RunConfig:
 
     # --- TPU framework flags (new) ---------------------------------------
     mesh: str = ""  # e.g. "dp=8" or "dp=4,tp=2"; "" = single device
+    # Accept a -1 mesh wildcard that leaves devices idle (device count not
+    # divisible by the explicit axes). Off by default: idle chips are a
+    # silent throughput loss the user must acknowledge.
+    mesh_allow_uneven: bool = False
     kernels: str = "auto"  # auto | xla | pallas
     model_seed: int = 0  # reference fixes PRNGKey(0) (/root/reference/model.py:29)
     resume: Optional[str] = None  # checkpoint dir to resume from
@@ -174,6 +178,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", dest="mesh", default="",
                    help="Device mesh spec, e.g. 'dp=8' or 'dp=4,tp=2'. "
                         "Empty = single device.")
+    p.add_argument("--mesh_allow_uneven", dest="mesh_allow_uneven",
+                   action="store_true",
+                   help="Allow a -1 mesh wildcard to leave devices idle "
+                        "when the device count is not divisible by the "
+                        "explicit axes (default: error).")
     p.add_argument("--kernels", dest="kernels", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="Compute backend for the fused train step.")

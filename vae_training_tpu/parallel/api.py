@@ -26,9 +26,10 @@ def make_parallel_step_fns(
     batch_size: int,
     mesh_spec: str,
     devices=None,
+    allow_uneven: bool = False,
 ) -> StepFns:
     axes = parse_mesh_spec(mesh_spec)
-    mesh = make_mesh(mesh_spec, devices=devices)
+    mesh = make_mesh(mesh_spec, devices=devices, allow_uneven=allow_uneven)
     if axes.get("tp", 1) > 1:
         return make_gspmd_step_fns(model, dataset, tx, batch_size, mesh)
     return make_dp_step_fns(model, dataset, tx, batch_size, mesh)

@@ -51,11 +51,16 @@ def parse_mesh_spec(spec: str) -> Dict[str, int]:
     return axes
 
 
-def make_mesh(spec: str, devices=None) -> Mesh:
+def make_mesh(spec: str, devices=None, allow_uneven: bool = False) -> Mesh:
     """Build the Mesh. The result ALWAYS carries a ``dp`` axis (inserted as
     dp=1 for tp-only specs) — every sharding in parallel/{dp,gspmd}.py
     partitions the batch over ``dp``, so its presence is part of the mesh
-    contract."""
+    contract.
+
+    A ``-1`` wildcard that cannot use every device (device count not
+    divisible by the explicit axes) is an ERROR unless ``allow_uneven=True``
+    (CLI: ``--mesh_allow_uneven``): silently training on k<N chips is a
+    throughput loss a user must acknowledge explicitly."""
     axes = parse_mesh_spec(spec)
     if not axes:
         raise ValueError("Empty mesh spec")
@@ -77,6 +82,14 @@ def make_mesh(spec: str, devices=None) -> Mesh:
                 f"{known} devices but only {len(devices)} are available"
             )
         if known * resolved != len(devices):
+            if not allow_uneven:
+                raise ValueError(
+                    f"Mesh axis {name}=-1 would use only "
+                    f"{known * resolved}/{len(devices)} devices "
+                    f"({len(devices)} not divisible by {known}); idle chips "
+                    f"are a silent throughput loss. Pass an explicit size "
+                    f"or --mesh_allow_uneven to accept it."
+                )
             print(
                 f"[mesh] {name}=-1 -> {resolved}: using "
                 f"{known * resolved}/{len(devices)} devices "

@@ -142,7 +142,9 @@ class GridTrainer:
                     "--seed_grid shards SEEDS over the mesh; use a pure dp "
                     "spec (e.g. --mesh dp=8), tp does not apply"
                 )
-            self.mesh = make_mesh(cfg.mesh)
+            self.mesh = make_mesh(
+                cfg.mesh,
+                allow_uneven=getattr(cfg, "mesh_allow_uneven", False))
             dp = self.mesh.shape["dp"]
             if len(self.seeds) % dp != 0:
                 raise ValueError(

@@ -175,7 +175,9 @@ class Trainer:
                 # first and rejects tp for epoch datasets)
                 from ..parallel.mesh import make_mesh
 
-                mesh = make_mesh(cfg.mesh)
+                mesh = make_mesh(
+                    cfg.mesh,
+                    allow_uneven=getattr(cfg, "mesh_allow_uneven", False))
             self.epoch_chunk = make_epoch_chunk(
                 self.model, dataset, self.tx, cfg.batch_size, mesh=mesh
             )
@@ -273,6 +275,7 @@ class Trainer:
                 self.tx,
                 self.cfg.batch_size,
                 mesh_spec=self.cfg.mesh,
+                allow_uneven=getattr(self.cfg, "mesh_allow_uneven", False),
             )
         if self.cfg.kernels == "auto" and self.cfg.nojit:
             pass  # interpreted debugging uses the plain XLA path

@@ -145,7 +145,9 @@ class MixedGridSweep:
             if parse_mesh_spec(mesh_spec).get("tp", 1) > 1:
                 raise MixedSweepUnavailable(
                     "mixed sweep shards rows over dp; use a pure dp spec")
-            self.mesh = make_mesh(mesh_spec)
+            self.mesh = make_mesh(
+                mesh_spec,
+                allow_uneven=getattr(self.cfg, "mesh_allow_uneven", False))
         if family == "mlp":
             self._build_chunk_mlp()
         else:
