@@ -77,7 +77,8 @@ CONFIGS = {
 CONFIG_SEEDS = {"linear": 2, "sigmoid": 69, "sphere": 69}
 
 
-def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16"):
+def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16",
+             adam_dtype: str = "f32"):
     from vae_training_tpu.config import RunConfig
 
     return RunConfig(
@@ -89,16 +90,17 @@ def make_cfg(config: str, kernels: str = "auto", precision: str = "bf16"):
         tqdm=False,
         kernels=kernels,
         precision=precision,
+        adam_dtype=adam_dtype,
         **CONFIGS[config],
     ).validate()
 
 
 def build(kernels: str = "auto", config: str = "linear",
-          precision: str = "bf16"):
+          precision: str = "bf16", adam_dtype: str = "f32"):
     from vae_training_tpu.data import get_dataset
     from vae_training_tpu.train import Trainer
 
-    cfg = make_cfg(config, kernels, precision)
+    cfg = make_cfg(config, kernels, precision, adam_dtype)
     dataset = get_dataset(cfg.dataset, cfg.dataset_seed, cfg)
     trainer = Trainer(cfg, dataset, output_dir=".")
     return trainer
@@ -142,7 +144,7 @@ def measure_conv(trainer, dataset, reps: int = 90) -> float:
 
 
 def build_grid(kernels: str = "auto", precision: str = "bf16",
-               family: str = "linear"):
+               family: str = "linear", adam_dtype: str = "f32"):
     """A whole sweep family as ONE launch (the grid headlines): every
     (dd, pd, ld) row × every seed of the reference sweep, trained by
     MixedGridSweep — linear 21 rows, sigmoid 18, sphere 15."""
@@ -155,6 +157,7 @@ def build_grid(kernels: str = "auto", precision: str = "bf16",
     rows = {}
     for cfg in sweep_mod.sweep_configs(family, "data", None, kernels):
         cfg.precision = precision  # reaches fp32_dots in the fused kernels
+        cfg.adam_dtype = adam_dtype  # bf16 moment buffers in the kernels
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
     groups = [GridTrainer(by_seed[seeds[0]], seeds)
@@ -298,6 +301,10 @@ def main() -> int:
                         "available), xla (the scan path — the comparison "
                         "column in PARITY), pallas (require the fused "
                         "kernel).")
+    p.add_argument("--adam_dtype", default="f32", choices=["f32", "bf16"],
+                   help="Adam moment storage under test: f32 (default, "
+                        "bitwise optax) or bf16 weight-matrix moments "
+                        "(halved optimizer VMEM traffic).")
     p.add_argument("--min", dest="min_steps", type=float, default=None,
                    help="Perf-regression floor: exit nonzero (3) if the "
                         "measured steps/sec falls below this value. The "
@@ -311,7 +318,8 @@ def main() -> int:
     if args.config in GRID_FAMILIES:
         try:
             sweep = build_grid(args.kernels, args.precision,
-                               family=GRID_FAMILIES[args.config])
+                               family=GRID_FAMILIES[args.config],
+                               adam_dtype=args.adam_dtype)
         except ValueError as e:
             if args.kernels == "pallas":
                 # deterministic eligibility error (e.g. --kernels pallas
@@ -326,14 +334,16 @@ def main() -> int:
         steps_per_sec = measure_conv(conv_trainer, dataset)
     else:
         try:
-            trainer = build(args.kernels, args.config, args.precision)
+            trainer = build(args.kernels, args.config, args.precision,
+                            args.adam_dtype)
             log(f"backend fns: {trainer.fns!r}")
             steps_per_sec = measure(trainer)
         except Exception as e:  # scoring insurance: fall back to the XLA path
             if args.kernels != "auto":
                 raise  # an explicitly requested backend must not be papered over
             log(f"auto backend failed ({type(e).__name__}: {e}); retrying xla")
-            trainer = build("xla", args.config, args.precision)
+            trainer = build("xla", args.config, args.precision,
+                            args.adam_dtype)
             steps_per_sec = measure(trainer)
     log(f"steps/sec: {steps_per_sec:.0f}")
     if args.latency:

@@ -35,6 +35,23 @@ def main(cfg: RunConfig) -> int:
     from vae_training_tpu.runio import enable_compile_cache
 
     enable_compile_cache()
+    if cfg.multihost:
+        # MUST run before any backend touch (jax.devices() below would
+        # otherwise initialize a single-process backend and the mesh could
+        # never span hosts). Process identity: explicit env vars when set
+        # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID —
+        # manual bring-up, incl. the multi-process CPU test), else jax's
+        # cluster auto-detection (TPU-pod metadata, SLURM, MPI). Mesh axes
+        # then span all hosts' devices; process 0 owns artifact writes
+        # (utils/process.is_primary).
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
     # Early liveness marker for supervisors (sweep --isolate, bench):
     # jax.devices() is exactly where an axon init hang wedges, and on a
     # cold compile cache the first stdout banner can be minutes later —
@@ -42,12 +59,6 @@ def main(cfg: RunConfig) -> int:
     # "hung before device init".
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     cfg.validate()
-    if cfg.multihost:
-        import jax
-
-        # Coordinator/process env vars per the standard TPU pod setup; the
-        # mesh axes then span all hosts' devices.
-        jax.distributed.initialize()
     if cfg.seed_grid:
         from vae_training_tpu.train.grid import run_seed_grid
 

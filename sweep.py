@@ -37,7 +37,7 @@ SPHERE_GRID = [(3, 3, 6), (3, 13, 8), (5, 16, 16), (5, 5, 10), (7, 7, 13)]
 
 
 def sweep_configs(sweep: str, data_dir: str, num_batches: int | None,
-                  kernels: str):
+                  kernels: str, adam_dtype: str = "f32"):
     if sweep == "linear":
         for seed in (2, 3, 4):
             for dd, pd, ld in LINEAR_GRID:
@@ -49,7 +49,7 @@ def sweep_configs(sweep: str, data_dir: str, num_batches: int | None,
                     num_batches=num_batches or 100000, epsilon=-1.0,
                     tunable_decoder_var=True, dataset_seed=seed,
                     learning_rate=1e-3, data_dir=data_dir, kernels=kernels,
-                    tqdm=False,
+                    tqdm=False, adam_dtype=adam_dtype,
                 )
     elif sweep == "sigmoid":
         for seed in (None, 24, 48):
@@ -65,6 +65,7 @@ def sweep_configs(sweep: str, data_dir: str, num_batches: int | None,
                     tunable_decoder_var=True,
                     dataset_seed=seed if seed is not None else 69,
                     data_dir=data_dir, kernels=kernels, tqdm=False,
+                    adam_dtype=adam_dtype,
                 )
     elif sweep == "sphere":
         for seed in (None, 24, 48):
@@ -82,6 +83,7 @@ def sweep_configs(sweep: str, data_dir: str, num_batches: int | None,
                     tunable_decoder_var=True,
                     dataset_seed=seed if seed is not None else 69,
                     data_dir=data_dir, kernels=kernels, tqdm=False,
+                    adam_dtype=adam_dtype,
                 )
     else:
         raise ValueError(f"unknown sweep {sweep!r}")
@@ -104,6 +106,7 @@ def cfg_to_argv(cfg: RunConfig):
         "--data_dir", cfg.data_dir,
         "--kernels", cfg.kernels,
         "--checkpoint_every", str(cfg.checkpoint_every),
+        "--adam_dtype", cfg.adam_dtype,
     ]
     if cfg.tunable_decoder_var:
         argv.append("-tdv")
@@ -158,7 +161,8 @@ SWEEP_SEEDS = {"linear": [2, 3, 4], "sigmoid": [69, 24, 48],
 
 
 def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
-                mesh: str = "", resume: bool = False) -> int:
+                mesh: str = "", resume: bool = False,
+                adam_dtype: str = "f32") -> int:
     """Max-speed sweep: each row's seeds train as ONE grid launch (the
     fused pallas grid kernel where eligible), reusing the reference run
     names. The linear sweep's 21 runs collapse to 7 launches. With
@@ -169,7 +173,8 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
 
     seeds = SWEEP_SEEDS[sweep]
     rows = {}
-    for cfg in sweep_configs(sweep, data_dir, num_batches, kernels):
+    for cfg in sweep_configs(sweep, data_dir, num_batches, kernels,
+                             adam_dtype):
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
 
@@ -290,6 +295,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="Off-cadence async checkpoints (useful with "
                         "--isolate so retries resume mid-run).")
+    p.add_argument("--adam_dtype", default="f32", choices=["f32", "bf16"],
+                   help="Adam moment storage for every row (see run.py "
+                        "--adam_dtype); used for the bf16 convergence "
+                        "validation sweeps.")
     p.add_argument("--report", action="store_true",
                    help="Summarize a FINISHED sweep from its artifacts "
                         "(per-row final loss + padding channel + "
@@ -307,7 +316,8 @@ def main(argv=None) -> int:
         enable_compile_cache()
         t0 = time.perf_counter()
         rc = run_grouped(args.sweep, args.data_dir, args.num_batches,
-                         args.kernels, mesh=args.mesh, resume=args.resume)
+                         args.kernels, mesh=args.mesh, resume=args.resume,
+                         adam_dtype=args.adam_dtype)
         print(f"[sweep] grouped {args.sweep} in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
         return rc
@@ -320,7 +330,7 @@ def main(argv=None) -> int:
 
         runner = run_one
     for cfg in sweep_configs(args.sweep, args.data_dir, args.num_batches,
-                             args.kernels):
+                             args.kernels, args.adam_dtype):
         cfg.checkpoint_every = args.checkpoint_every
         t1 = time.perf_counter()
         if args.isolate:

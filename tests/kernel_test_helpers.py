@@ -48,6 +48,44 @@ def run_xla_steps(model, tx, state, xs, z1s, z2s):
     return params, opt_state, np.array(losses)
 
 
+def _bf16_ulp_keys(a):
+    """bfloat16 array -> int32 keys monotonic in float order, 1 apart per
+    ulp (the standard sign-magnitude -> two's-complement bit trick)."""
+    s = np.asarray(a).view(np.int16).astype(np.int32)
+    return np.where(s < 0, -32768 - s, s)
+
+
+def assert_adam_moments(ka, xa, *, mu_rtol, mu_atol, nu_rtol, nu_atol):
+    """Pin kernel vs XLA Adam moments, dtype-aware. bf16 moment leaves
+    (--adam_dtype bf16): both paths round the same f32 update to bf16, and
+    the rounding absorbs the paths' float-tolerance forward differences —
+    so every element must agree to <=1 bf16 ulp (a tolerance-level gradient
+    difference can land exactly on a rounding boundary) and the
+    overwhelming majority must be BITWISE equal. f32 leaves keep the usual
+    tolerance (params diverge at rounding level, so grads/moments do)."""
+    for kt, xt, rtol, atol in ((ka.mu, xa.mu, mu_rtol, mu_atol),
+                               (ka.nu, xa.nu, nu_rtol, nu_atol)):
+        flat_x = {jax.tree_util.keystr(p): v
+                  for p, v in jax.tree_util.tree_leaves_with_path(xt)}
+        for path, kv in jax.tree_util.tree_leaves_with_path(kt):
+            key = jax.tree_util.keystr(path)
+            xv = flat_x[key]
+            assert kv.dtype == xv.dtype, (key, kv.dtype, xv.dtype)
+            if kv.dtype == jnp.bfloat16:
+                ulp = np.abs(_bf16_ulp_keys(kv) - _bf16_ulp_keys(xv))
+                assert ulp.max() <= 1, (
+                    f"{key}: bf16 moments differ by {ulp.max()} ulp "
+                    f"(max allowed 1)")
+                exact = float(np.mean(ulp == 0))
+                assert exact >= 0.95, (
+                    f"{key}: only {exact:.1%} of bf16 moments bitwise-equal "
+                    f"(boundary flips should be rare)")
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(kv), np.asarray(xv), rtol=rtol, atol=atol,
+                    err_msg=key)
+
+
 def assert_trees_close(a, b, rtol, atol):
     flat_b = {jax.tree_util.keystr(p): v
               for p, v in jax.tree_util.tree_leaves_with_path(b)}

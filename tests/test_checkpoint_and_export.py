@@ -73,6 +73,32 @@ def test_resume_is_bit_exact(tmp_outdir):
     assert int(resumed.state.step) == 200
 
 
+def test_resume_is_bit_exact_bf16_moments(tmp_outdir):
+    """--adam_dtype bf16: the bfloat16 moment buffers must survive the
+    checkpoint round-trip with their dtype AND bits (moments round to bf16
+    every step, so 100+100 == 200 exactly, same as f32)."""
+    import jax.numpy as jnp
+
+    from vae_training_tpu.kernels.linear_vae import _adam_state
+
+    straight, _, _ = build(tmp_outdir, "a16", adam_dtype="bf16")
+    straight.state, _ = straight.fns.train_chunk(straight.state, 200)
+
+    half, out, _ = build(tmp_outdir, "b16", adam_dtype="bf16")
+    half.state, _ = half.fns.train_chunk(half.state, 100)
+    save_checkpoint(out, half.state)
+
+    resumed, _, _ = build(tmp_outdir, "c16", resume=out, adam_dtype="bf16")
+    assert int(resumed.state.step) == 100
+    ra = _adam_state(resumed.state.opt_state)
+    assert ra.mu["Encoder"]["FC0"]["kernel"].dtype == jnp.bfloat16
+    assert ra.mu["Encoder"]["FC0"]["bias"].dtype == jnp.float32
+    resumed.state, _ = resumed.fns.train_chunk(resumed.state, 100)
+
+    assert tree_equal(straight.state.params, resumed.state.params)
+    assert tree_equal(straight.state.opt_state, resumed.state.opt_state)
+
+
 def test_model_pkl_layout_and_roundtrip(tmp_outdir):
     trainer, out, _ = build(tmp_outdir, "pkl")
     trainer.state, _ = trainer.fns.train_chunk(trainer.state, 50)

@@ -25,7 +25,9 @@ LATENT = 6
 HIDDEN = "24|24"
 
 
-def setup(tdv=True, kind="sphere"):
+def setup(tdv=True, kind="sphere", adam_dtype="f32"):
+    from vae_training_tpu.train.state import make_adam
+
     if kind == "sigmoid":
         from vae_training_tpu.data import SigmoidDataset
 
@@ -39,7 +41,7 @@ def setup(tdv=True, kind="sphere"):
         encoder_layer_sizes=HIDDEN, decoder_layer_sizes=HIDDEN,
         epsilon=-3.0, tunable_decoder_var=tdv, dataset_name=dataset_name,
     )
-    tx = optax.adam(1e-3)
+    tx = make_adam(1e-3, adam_dtype)  # == optax.adam(1e-3) for f32
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, dataset.dimension)), jnp.zeros((1, LATENT)),
@@ -65,6 +67,7 @@ def sphere_noise(dataset, n_steps, seed=0):
 
 
 from kernel_test_helpers import (  # noqa: E402 — shared equivalence helpers
+    assert_adam_moments,
     assert_trees_close,
     run_xla_steps,
 )
@@ -75,10 +78,15 @@ def pad_noise(x, z1, z2, n_steps):
     return _pad_noise(x, z1, z2, n_steps, batch=BATCH, lane=LANE)
 
 
-@pytest.mark.parametrize("tdv", [True, False])
-def test_mlp_kernel_matches_xla(tdv):
+@pytest.mark.parametrize("tdv,adam_dtype", [
+    (True, "f32"), (False, "f32"),
+    # bf16 weight-matrix moments: kernel and optax chain must round
+    # identically (bitwise-pinned by assert_adam_moments)
+    (True, "bf16"),
+])
+def test_mlp_kernel_matches_xla(tdv, adam_dtype):
     n_steps = 4
-    dataset, model, tx, state = setup(tdv=tdv)
+    dataset, model, tx, state = setup(tdv=tdv, adam_dtype=adam_dtype)
     D = dataset.dimension
     enc_dims = _layer_dims(model.encoder_features, D)
     dec_dims = _layer_dims(model.decoder_features, LATENT)
@@ -106,18 +114,21 @@ def test_mlp_kernel_matches_xla(tdv):
     assert_trees_close(kstate.params, xparams, rtol=1e-3, atol=1e-5)
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
-    assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
     # nu (second moments) pinned too — a wrong beta2/missing square must
     # not hide inside the param tolerance over 4 steps
-    assert_trees_close(ka.nu, xa.nu, rtol=1e-3, atol=1e-9)
+    assert_adam_moments(ka, xa, mu_rtol=1e-3, mu_atol=1e-6,
+                        nu_rtol=1e-3, nu_atol=1e-9)
 
 
-@pytest.mark.parametrize("tdv", [True, False])
-def test_mlp_dual_decoder_kernel_matches_xla(tdv):
+@pytest.mark.parametrize("tdv,adam_dtype", [
+    (True, "f32"), (False, "f32"), (True, "bf16"),
+])
+def test_mlp_dual_decoder_kernel_matches_xla(tdv, adam_dtype):
     """Sigmoid dataset + hidden-layer dual decoder (σ(SigMLP)+MLP):
     the kernel's second decoder stack and its backward vs jax.grad+optax."""
     n_steps = 4
-    dataset, model, tx, state = setup(tdv=tdv, kind="sigmoid")
+    dataset, model, tx, state = setup(tdv=tdv, kind="sigmoid",
+                                      adam_dtype=adam_dtype)
     D = dataset.dimension
     enc_dims = _layer_dims(model.encoder_features, D)
     dec_dims = _layer_dims(model.decoder_features, LATENT)
@@ -150,8 +161,8 @@ def test_mlp_dual_decoder_kernel_matches_xla(tdv):
     assert_trees_close(kstate.params, xparams, rtol=1e-3, atol=1e-5)
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
-    assert_trees_close(ka.mu, xa.mu, rtol=1e-3, atol=1e-6)
-    assert_trees_close(ka.nu, xa.nu, rtol=1e-3, atol=1e-9)
+    assert_adam_moments(ka, xa, mu_rtol=1e-3, mu_atol=1e-6,
+                        nu_rtol=1e-3, nu_atol=1e-9)
 
 
 def test_mlp_dual_padded_regions_stay_zero():

@@ -30,7 +30,7 @@ LATENT = 20
 INTRINSIC = 3
 
 
-def setup(kind="linear", tdv=True, lr=1e-3):
+def setup(kind="linear", tdv=True, lr=1e-3, adam_dtype="f32"):
     if kind == "linear":
         dataset = LinearGaussianDataset.create(
             2, dimension=INTRINSIC, intrinsic_dimension=INTRINSIC,
@@ -46,7 +46,9 @@ def setup(kind="linear", tdv=True, lr=1e-3):
         encoder_layer_sizes="", decoder_layer_sizes="",
         epsilon=-1.0, tunable_decoder_var=tdv, dataset_name=dataset_name,
     )
-    tx = optax.adam(lr)
+    from vae_training_tpu.train.state import make_adam
+
+    tx = make_adam(lr, adam_dtype)  # == optax.adam(lr) for f32
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, dataset.dimension)), jnp.zeros((1, LATENT)),
@@ -78,6 +80,7 @@ def sample_noise(dataset, n_steps, seed=0):
 
 
 from kernel_test_helpers import (  # noqa: E402 — shared equivalence helpers
+    assert_adam_moments,
     assert_trees_close,
     run_xla_steps,
 )
@@ -109,12 +112,18 @@ def run_kernel(dataset, model, state, xs, z1s, z2s, tdv, dual):
     return kstate, np.asarray(losses)
 
 
-@pytest.mark.parametrize("kind,tdv", [
-    ("linear", True), ("linear", False), ("sigmoid", True),
+@pytest.mark.parametrize("kind,tdv,adam_dtype", [
+    ("linear", True, "f32"), ("linear", False, "f32"),
+    ("sigmoid", True, "f32"),
+    # --adam_dtype bf16: weight-matrix moments stored bf16 — the kernel and
+    # the XLA optax chain must round IDENTICALLY (assert_adam_moments pins
+    # bf16 leaves bitwise)
+    ("linear", True, "bf16"), ("sigmoid", True, "bf16"),
 ])
-def test_kernel_matches_xla_math(kind, tdv):
+def test_kernel_matches_xla_math(kind, tdv, adam_dtype):
     n_steps = 5
-    dataset, model, tx, state = setup(kind=kind, tdv=tdv)
+    dataset, model, tx, state = setup(kind=kind, tdv=tdv,
+                                      adam_dtype=adam_dtype)
     dual = kind == "sigmoid"
     xs, z1s, z2s = sample_noise(dataset, n_steps)
     kstate, klosses = run_kernel(dataset, model, state, xs, z1s, z2s, tdv, dual)
@@ -125,8 +134,8 @@ def test_kernel_matches_xla_math(kind, tdv):
     assert_trees_close(kstate.params, xparams, rtol=5e-4, atol=5e-5)
     ka, xa = _adam_state(kstate.opt_state), _adam_state(xopt)
     assert int(ka.count) == int(xa.count) == n_steps
-    assert_trees_close(ka.mu, xa.mu, rtol=5e-4, atol=1e-6)
-    assert_trees_close(ka.nu, xa.nu, rtol=5e-4, atol=1e-7)
+    assert_adam_moments(ka, xa, mu_rtol=5e-4, mu_atol=1e-6,
+                        nu_rtol=5e-4, nu_atol=1e-7)
 
 
 def test_padded_regions_stay_zero():

@@ -37,6 +37,74 @@ def test_parse_mesh_spec():
     assert mesh.shape["dp"] == 8
 
 
+def test_dp_dcn_axis_is_always_outermost():
+    """The DCN axis must lead the mesh regardless of spec order: jax.devices()
+    is process-ordered, so only the leading axis's rows land on distinct
+    hosts/slices."""
+    assert parse_mesh_spec("dp=4,dp_dcn=2") == {"dp": 4, "dp_dcn": 2}
+    for spec in ("dp=4,dp_dcn=2", "dp_dcn=2,dp=4"):
+        mesh = make_mesh(spec)
+        assert mesh.axis_names == ("dp_dcn", "dp")
+        assert mesh.shape["dp_dcn"] == 2 and mesh.shape["dp"] == 4
+    mesh = make_mesh("dp_dcn=2,dp=2,tp=2")
+    assert mesh.axis_names == ("dp_dcn", "dp", "tp")
+    # wildcard composes: dp=-1 under dp_dcn=2 resolves to 4
+    assert make_mesh("dp_dcn=2,dp=-1").shape["dp"] == 4
+
+
+def test_dp_dcn_two_level_matches_flat_dp():
+    """--mesh dp_dcn=2,dp=4 must train the SAME problem as --mesh dp=8:
+    the linearized (dp_dcn, dp) key fold reproduces the flat dp per-device
+    streams exactly, so trajectories agree to reduction-order tolerance
+    (hierarchical ICI-then-DCN pmean vs one flat pmean)."""
+    dataset = LinearGaussianDataset.create(2, dimension=3, intrinsic_dimension=3,
+                                           padding_dimension=3)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=6,
+                      epsilon=-1.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    state = _make_state(model, dataset, tx, 6)
+
+    flat = make_dp_step_fns(model, dataset, tx, batch_size=64,
+                            mesh=make_mesh("dp=8"))
+    s1 = flat.place_state(jax.tree_util.tree_map(jnp.copy, state))
+    s1, losses1 = flat.train_chunk(s1, 150)
+
+    two = make_dp_step_fns(model, dataset, tx, batch_size=64,
+                           mesh=make_mesh("dp_dcn=2,dp=4"))
+    s2 = two.place_state(jax.tree_util.tree_map(jnp.copy, state))
+    s2, losses2 = two.train_chunk(s2, 150)
+
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2),
+                               rtol=1e-5, atol=1e-5)
+    k1 = np.asarray(s1.params["Decoder"]["FC0"]["kernel"])
+    k2 = np.asarray(s2.params["Decoder"]["FC0"]["kernel"])
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-5)
+    # batch must divide the PRODUCT of both data axes
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_step_fns(model, dataset, tx, batch_size=36,
+                         mesh=make_mesh("dp_dcn=2,dp=4"))
+
+
+def test_dp_dcn_with_tp_gspmd_trains():
+    """Three-axis mesh (dp_dcn × dp × tp): GSPMD shards the batch over both
+    data axes and the hidden dims over tp; training must run and converge."""
+    from vae_training_tpu.parallel import make_parallel_step_fns
+
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=6,
+                      encoder_layer_sizes="64|64", decoder_layer_sizes="64|64",
+                      epsilon=-3.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    fns = make_parallel_step_fns(model, dataset, tx, batch_size=64,
+                                 mesh_spec="dp_dcn=2,dp=2,tp=2")
+    state = fns.place_state(_make_state(model, dataset, tx, 6))
+    state, losses = fns.train_chunk(state, 100)
+    l = np.asarray(losses)
+    assert np.all(np.isfinite(l))
+    state, losses2 = fns.train_chunk(state, 100)
+    assert np.asarray(losses2).mean() < l.mean()
+
+
 def test_mesh_wildcard_uneven_requires_opt_in():
     """A -1 wildcard that would idle devices is an error by default
     (silent throughput loss); --mesh_allow_uneven opts in explicitly."""

@@ -94,6 +94,15 @@ class RunConfig:
     # dot) for true-fp32 matmul arithmetic. Accumulation, ELBO, gradients,
     # Adam, and master weights are f32 in both modes.
     precision: str = "bf16"
+    # Adam moment storage dtype. f32 (default) is bitwise-identical to
+    # optax.adam / the reference's flax.optim.Adam. bf16 stores the WEIGHT
+    # matrices' m/v moments in bfloat16 (compute stays f32; biases/epsilon
+    # keep f32 moments) — halves the optimizer's VMEM traffic, the measured
+    # bound of the fused MLP step. Opt-in because it changes the training
+    # trajectory (bf16 rounding of the moments); convergence validated
+    # across all three sweep families (PARITY.md). Must match across
+    # --resume (the checkpoint stores the moments in this dtype).
+    adam_dtype: str = "f32"
 
     # --- derived ----------------------------------------------------------
     @property
@@ -122,6 +131,9 @@ class RunConfig:
         if self.precision not in ("fp32", "bf16"):
             raise ValueError(
                 f"--precision must be fp32|bf16, got {self.precision}")
+        if self.adam_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"--adam_dtype must be f32|bf16, got {self.adam_dtype}")
         return self
 
     def to_json_dict(self) -> dict:
@@ -236,6 +248,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "dots. fp32 forces true-fp32 matmuls "
                         "(Precision.HIGHEST) for reference-exact arithmetic "
                         "at ~3x the per-dot MXU cost.")
+    p.add_argument("--adam_dtype", dest="adam_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam moment storage: f32 (default, bitwise optax) "
+                        "or bf16 weight-matrix moments (f32 compute; halves "
+                        "optimizer VMEM traffic — faster fused MLP steps; "
+                        "changes the trajectory by moment rounding). Must "
+                        "match across --resume.")
     return p
 
 

@@ -53,7 +53,11 @@ def _on_construction_device():
     import contextlib
 
     try:
-        return jax.default_device(jax.devices("cpu")[0])
+        # local_devices, not devices: under multi-process (--multihost)
+        # global device 0 belongs to process 0 — eager construction on a
+        # non-addressable device would make the host rank-check fetch
+        # impossible on every other process
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
         return contextlib.nullcontext()  # no CPU backend: default device
 

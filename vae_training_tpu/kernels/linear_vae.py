@@ -180,12 +180,30 @@ def _adam(p, m, v, g, t, lr):
     divisions become one scalar multiply each (measured −361 ns/step on
     the Adam-bound MLP kernel). m/v are bitwise-identical to optax;
     p differs from the unfolded form only by regrouped rounding (the
-    equivalence suite pins p against jax.grad+optax to float tolerance)."""
+    equivalence suite pins p against jax.grad+optax to float tolerance).
+
+    bf16 moments (--adam_dtype bf16): when m/v arrive as bfloat16 buffers,
+    compute stays f32 and each step's m/v are rounded back to bf16, with
+    the ROUNDED values feeding the parameter update — the exact contract of
+    train/state._scale_by_adam_bf16, so kernel and XLA paths stay bitwise-
+    equal on the moments. Halves the Adam VMEM load/store traffic that
+    bounds the fused MLP step (docs/architecture.md)."""
+    mdt = m.dtype
+    if mdt != jnp.float32:
+        m = m.astype(jnp.float32)
+        v = v.astype(jnp.float32)
     m = B1 * m + (1.0 - B1) * g
     v = B2 * v + (1.0 - B2) * g * g
+    if mdt != jnp.float32:
+        m = m.astype(mdt)
+        v = v.astype(mdt)
+        m32 = m.astype(jnp.float32)
+        v32 = v.astype(jnp.float32)
+    else:
+        m32, v32 = m, v
     bc2_sqrt = jnp.sqrt(1.0 - jnp.exp(t * math.log(B2)))
     lr_t = lr * bc2_sqrt / (1.0 - jnp.exp(t * math.log(B1)))
-    return p - lr_t * m / (jnp.sqrt(v) + ADAM_EPS * bc2_sqrt), m, v
+    return p - lr_t * m32 / (jnp.sqrt(v32) + ADAM_EPS * bc2_sqrt), m, v
 
 
 def _make_kernel(
@@ -488,7 +506,7 @@ def _make_kernel(
                 # rows beyond the live bound are zero by the padding
                 # invariant (asserted by test_padded_regions_stay_zero)
                 val = jnp.concatenate(
-                    [val, jnp.zeros((N - b, N), jnp.float32)], axis=0)
+                    [val, jnp.zeros((N - b, N), val.dtype)], axis=0)
             if grid:
                 dst[0] = val
             else:
@@ -588,11 +606,10 @@ def run_fused_chunk(
     )
     lead = (grid_n,) if grid_n else ()
     blead = (1,) if grid_n else ()
-    mat = jax.ShapeDtypeStruct(lead + (N, N), jnp.float32)
-    vecb = jax.ShapeDtypeStruct(lead + (8, N), jnp.float32)
-    # order: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec
-    state_shapes = [mat, mat, mat, vecb, mat, mat, mat, mat, mat, mat,
-                    vecb, vecb]
+    # order: we, wd, ws, vec, mwe, vwe, mwd, vwd, mws, vws, mvec, vvec —
+    # shapes/dtypes derived from the actual buffers so bf16 Adam moments
+    # (--adam_dtype bf16) round-trip with their own dtype
+    state_shapes = [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in buffers]
     # grid mode: per-seed loss blocks must be 8-row aligned for Mosaic
     n_steps_pad = ((n_steps + 7) // 8) * 8 if grid_n else n_steps
     loss_shape = ((grid_n * n_steps_pad, 1) if grid_n else (n_steps, 1))
@@ -682,7 +699,9 @@ def _adam_state(opt_state) -> optax.ScaleByAdamState:
 
 
 def _pack_mat(dst_shape, mat):
-    out = jnp.zeros(dst_shape, jnp.float32)
+    # dtype-preserving: bf16 Adam-moment leaves (--adam_dtype bf16) pack
+    # into bf16 buffers, f32 params into f32
+    out = jnp.zeros(dst_shape, mat.dtype)
     return out.at[: mat.shape[0], : mat.shape[1]].set(mat)
 
 
@@ -706,11 +725,12 @@ def pack_state(state: TrainState, data_dim: int, latent_dim: int, tdv: bool,
 
     def mats(tree):
         dual_tree = tree.get("SigDecoder") if dual else None
+        wdt = tree["Encoder"]["FC0"]["kernel"].dtype  # bf16 for bf16 moments
         return (
             _pack_mat((N, N), tree["Encoder"]["FC0"]["kernel"]),
             _pack_mat((N, N), tree["Decoder"]["FC0"]["kernel"]),
             (_pack_mat((N, N), dual_tree["FC0"]["kernel"]) if dual
-             else jnp.zeros((N, N), jnp.float32)),
+             else jnp.zeros((N, N), wdt)),
             _pack_vec_buffer(
                 tree["Encoder"]["FC0"]["bias"],
                 tree["Decoder"]["FC0"]["bias"],

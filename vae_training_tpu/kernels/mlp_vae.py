@@ -408,7 +408,7 @@ def _make_kernel(
             b, (pin, pout) = w_bounds[li], w_shapes[li]
             if b < pin:
                 val = jnp.concatenate(
-                    [val, jnp.zeros((pin - b, pout), jnp.float32)], axis=0)
+                    [val, jnp.zeros((pin - b, pout), val.dtype)], axis=0)
             st(dst, val)
 
         for group_out, group_val in (

@@ -9,6 +9,15 @@ the mesh), so no parameter communication ever happens.
 Per-device randomness: the step key is folded with the device's axis index,
 giving independent sampling streams per device — the TPU-native replacement
 for the reference's single host-side key chain.
+
+Two-level data parallelism (``--mesh dp_dcn=S,dp=N`` — S slices × N chips):
+the batch shards over BOTH axes and the gradient reduction is hierarchical:
+``pmean`` over ``dp`` first (ICI, within a slice), then over ``dp_dcn``
+(DCN, across slices) — so only one already-reduced gradient tensor per
+slice crosses the slow network per step. The per-device key fold uses the
+linearized (dp_dcn, dp) index, which equals the plain ``dp=S*N`` index over
+the same device list — the two meshes sample identical per-device batches
+and differ only in reduction topology.
 """
 
 from __future__ import annotations
@@ -34,9 +43,13 @@ def make_dp_step_fns(
     batch_size: int,
     mesh: Mesh,
 ) -> StepFns:
-    ndev = mesh.shape["dp"]
+    dp = mesh.shape["dp"]
+    dcn = mesh.shape.get("dp_dcn", 1)
+    ndev = dp * dcn
     if batch_size % ndev != 0:
         raise ValueError(
+            f"--batch_size {batch_size} must be divisible by "
+            f"dp_dcn*dp={ndev}" if dcn > 1 else
             f"--batch_size {batch_size} must be divisible by dp={ndev}"
         )
     local_bs = batch_size // ndev
@@ -47,15 +60,22 @@ def make_dp_step_fns(
 
     def local_step(state: TrainState) -> Tuple[TrainState, jax.Array]:
         idx = jax.lax.axis_index("dp")
+        if dcn > 1:
+            # linearized (dp_dcn, dp) index == the dp=S*N index (docstring)
+            idx = jax.lax.axis_index("dp_dcn") * dp + idx
         kb = jax.random.fold_in(jax.random.fold_in(state.data_key, state.step), idx)
         kz = jax.random.fold_in(jax.random.fold_in(state.model_key, state.step), idx)
         batch = dataset.sample(kb, local_bs)
         z = sample_z(kz, local_bs, latent_dim, data_dim)
         z1, z2 = split_z(z, latent_dim)
         loss, grads = grad_fn(state.params, batch, z1, z2)
-        # Equal shards ⇒ mean-of-means is the global-batch mean.
+        # Equal shards ⇒ mean-of-means is the global-batch mean. Hierarchical
+        # when two-level: ICI reduce first, one reduced tensor crosses DCN.
         grads = jax.lax.pmean(grads, "dp")
         loss = jax.lax.pmean(loss, "dp")
+        if dcn > 1:
+            grads = jax.lax.pmean(grads, "dp_dcn")
+            loss = jax.lax.pmean(loss, "dp_dcn")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -108,12 +108,15 @@ def make_gspmd_step_fns(
     batch_size: int,
     mesh: Mesh,
 ) -> StepFns:
-    dp = mesh.shape.get("dp", 1)
+    dp = mesh.shape.get("dp", 1) * mesh.shape.get("dp_dcn", 1)
     if batch_size % max(dp, 1) != 0:
         raise ValueError(f"--batch_size {batch_size} must be divisible by dp={dp}")
     latent_dim = model.latent_dim
     data_dim = dataset.dimension
-    batch_sharding = NamedSharding(mesh, P("dp", None))
+    # two-level dp: batch shards over (dp_dcn, dp) jointly; GSPMD emits the
+    # hierarchical reduction itself from the sharding annotations
+    batch_axes = (("dp_dcn", "dp") if "dp_dcn" in mesh.shape else "dp")
+    batch_sharding = NamedSharding(mesh, P(batch_axes, None))
 
     grad_fn = make_elbo_grad_fn(model)
 

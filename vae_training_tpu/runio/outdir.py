@@ -20,8 +20,14 @@ def get_output_dir(name: str, data_dir: str = "data") -> str:
 
 def make_output_dir(name: str, overwrite: bool, cfg, data_dir: str = "data",
                     reuse_existing: bool = False) -> str:
-    os.makedirs(data_dir, exist_ok=True)
     dirname = get_output_dir(name, data_dir)
+    from ..utils.process import is_primary
+
+    if not is_primary():
+        # multi-process runs: process 0 owns the output directory (creation,
+        # clobber protection, manifest); other processes only need the path
+        return dirname
+    os.makedirs(data_dir, exist_ok=True)
     if os.path.exists(dirname) and reuse_existing:
         # in-place resume: keep every artifact (checkpoints included),
         # refresh the manifest below

@@ -142,6 +142,14 @@ class GridTrainer:
                     "--seed_grid shards SEEDS over the mesh; use a pure dp "
                     "spec (e.g. --mesh dp=8), tp does not apply"
                 )
+            if axes.get("dp_dcn", 1) > 1:
+                raise ValueError(
+                    "--seed_grid with dp_dcn makes no sense: the sharded "
+                    "grid chunk has ZERO collectives (seeds are "
+                    "independent), so there is nothing for a cross-slice "
+                    "axis to reduce — launch one grid per slice instead "
+                    "(same aggregate throughput, no DCN dependency)"
+                )
             self.mesh = make_mesh(
                 cfg.mesh,
                 allow_uneven=getattr(cfg, "mesh_allow_uneven", False))
@@ -166,7 +174,8 @@ class GridTrainer:
             dataset_name=cfg.dataset,
             precision=cfg.precision,
         )
-        self.tx = make_adam(cfg.learning_rate)  # shared with kernels
+        self.tx = make_adam(cfg.learning_rate,  # shared with kernels
+                            getattr(cfg, "adam_dtype", "f32"))
         if cfg.kernels == "pallas" and not cfg.nojit:
             # Strict-backend eligibility, checked BEFORE the state-grid
             # construction programs compile: a doomed --kernels pallas run

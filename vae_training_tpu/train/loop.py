@@ -43,6 +43,7 @@ from ..runio.checkpoint import (
     save_checkpoint_async,
 )
 from ..runio.export import load_model_pkl, save_model_pkl
+from ..utils.process import is_primary
 from ..utils.trees import correlation_ratio, correlation_ratio_per_param
 from .state import TrainState, make_adam
 from .step import make_step_fns, sample_z, split_z
@@ -148,7 +149,8 @@ class Trainer:
         # b2=0.999, eps=1e-8 — /root/reference/vae.py:113). make_adam is the
         # single source of truth shared with the fused kernels' in-kernel
         # optimizer — do not construct the optimizer any other way.
-        self.tx = make_adam(cfg.learning_rate)
+        self.tx = make_adam(cfg.learning_rate,
+                            getattr(cfg, "adam_dtype", "f32"))
 
         z_base_key, self.key = jax.random.split(self.key)
         data_root = jax.random.PRNGKey(cfg.dataset_seed)
@@ -420,7 +422,8 @@ class Trainer:
         message = self.recorder.write_stats(
             num, stats, is_epochs=is_epochs, console_only=console_only
         )
-        print(message, flush=True)
+        if is_primary():  # every process records; only process 0 speaks
+            print(message, flush=True)
 
     def plot_model_specific(self):
         pass
@@ -429,8 +432,12 @@ class Trainer:
         self.plot_model_specific()
 
     def plot_epoch(self) -> None:
+        # the device sampling is collective (all processes participate);
+        # the figure write is process 0's
         key = self.get_key()
         batch = np.asarray(self.sample_batch(key, self.eval_batch_size)[0])
+        if not is_primary():
+            return
         # epoch datasets index plots by epoch (/root/reference/model.py:142-145)
         tag = self.epoch_num if self.dataset.is_epochs else self.batchnum
         fn = os.path.join(self.dirname, f"output_{tag}.png")
@@ -477,7 +484,7 @@ class Trainer:
             # full-state resume already has it in its restored history
             self.write_stats(self.compute_stats())
         progress = None
-        if self.cfg.tqdm:
+        if self.cfg.tqdm and is_primary():
             try:
                 from tqdm import trange
 
@@ -493,7 +500,8 @@ class Trainer:
             self.recorder.append_train_losses(jax.device_get(losses))
             self.batchnum += n_batches
             stats = self.compute_stats()
-            print(f"Completed Epoch {self.epoch_num}", flush=True)
+            if is_primary():
+                print(f"Completed Epoch {self.epoch_num}", flush=True)
             self.write_stats(stats)
             self.plot_epoch()
             self.save()
@@ -509,11 +517,12 @@ class Trainer:
                 score = self.dataset.score_host(np.asarray(eval_batch))
             else:
                 score = jax.device_get(self.fns.score(eval_batch))
-            print(f"Score for real data: {score}", flush=True)
+            if is_primary():
+                print(f"Score for real data: {score}", flush=True)
 
         total = self.cfg.num_batches
         progress = None
-        if self.cfg.tqdm:
+        if self.cfg.tqdm and is_primary():
             try:
                 from tqdm import tqdm as _tqdm
 
@@ -555,7 +564,7 @@ class Trainer:
                 profiled = True
             self.recorder.append_train_losses(jax.device_get(losses))
             if (
-                self.cfg.checkpoint_every
+                self.cfg.checkpoint_every and is_primary()
                 and (b + n) // self.cfg.checkpoint_every > b // self.cfg.checkpoint_every
             ):
                 # async: snapshot now, write on a background thread — the
@@ -617,6 +626,11 @@ class Trainer:
             self.recorder.correlation_ratios_per_param = per_param
 
     def save(self, final: bool = False) -> None:
+        if not is_primary():
+            # multi-process: process 0 owns every artifact write; nothing
+            # here is a collective (device_get of replicated state is
+            # process-local), so other processes skip the whole save
+            return
         if final:
             # drain queued --checkpoint_every background writes and surface
             # any failure — a run must not exit "ok" with a broken ckpt

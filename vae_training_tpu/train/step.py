@@ -220,12 +220,22 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
     grad_fn = make_elbo_grad_fn(model)
 
     if mesh is not None:
-        ndev = mesh.shape["dp"]
+        dp = mesh.shape["dp"]
+        dcn = mesh.shape.get("dp_dcn", 1)
+        ndev = dp * dcn
         if batch_size % ndev != 0:
             raise ValueError(
                 f"--batch_size {batch_size} must be divisible by dp={ndev}"
             )
         local_bs = batch_size // ndev
+
+        def device_index():
+            # linearized (dp_dcn, dp) index == the flat dp index over the
+            # same device list (parallel/dp.py docstring)
+            idx = jax.lax.axis_index("dp")
+            if dcn > 1:
+                idx = jax.lax.axis_index("dp_dcn") * dp + idx
+            return idx
 
     def epoch_body(state: TrainState, epoch: jax.Array, n_batches: int):
         perm = jax.random.permutation(
@@ -240,8 +250,7 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
                 base = i * batch_size
                 bs = batch_size
             else:
-                didx = jax.lax.axis_index("dp")
-                base = i * batch_size + didx * local_bs
+                base = i * batch_size + device_index() * local_bs
                 bs = local_bs
             idx = jax.lax.dynamic_slice(perm, (base,), (bs,))
             return jnp.take(corpus, idx, axis=0)
@@ -258,17 +267,20 @@ def make_epoch_chunk(model, dataset, tx: optax.GradientTransformation,
                 bs = batch_size
                 kz = jax.random.fold_in(s.model_key, s.step)
             else:
-                didx = jax.lax.axis_index("dp")
                 bs = local_bs
                 kz = jax.random.fold_in(
-                    jax.random.fold_in(s.model_key, s.step), didx)
+                    jax.random.fold_in(s.model_key, s.step), device_index())
             z = sample_z(kz, bs, latent_dim, data_dim)
             z1, z2 = split_z(z, latent_dim)
             loss, grads = grad_fn(s.params, batch, z1, z2)
             if mesh is not None:
-                # equal shards ⇒ mean-of-means is the global-batch mean
+                # equal shards ⇒ mean-of-means is the global-batch mean;
+                # hierarchical when two-level (ICI reduce, then DCN)
                 grads = jax.lax.pmean(grads, "dp")
                 loss = jax.lax.pmean(loss, "dp")
+                if dcn > 1:
+                    grads = jax.lax.pmean(grads, "dp_dcn")
+                    loss = jax.lax.pmean(loss, "dp_dcn")
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
             return (s.replace(params=params, opt_state=opt_state,
