@@ -183,6 +183,7 @@ def test_solo_train_failure_still_flushes_queued_artifacts(tmp_outdir):
     assert any(f.startswith("ckpt") for f in files)
 
 
+@pytest.mark.slow  # full grid train e2e (~45 s on 1 core)
 def test_grid_train_returns_with_artifacts_durable(tmp_outdir):
     """train() drains the writer: every in-loop artifact (figures included)
     is on disk by the time it returns."""

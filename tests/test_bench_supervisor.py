@@ -13,6 +13,9 @@ import pytest
 
 import bench
 
+# wall-clock child-process supervision tests (timeout sleeps dominate)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

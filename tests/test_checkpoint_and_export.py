@@ -11,6 +11,7 @@ import pickle
 
 import jax
 import numpy as np
+import pytest
 
 from vae_training_tpu.config import RunConfig
 from vae_training_tpu.data import get_dataset
@@ -56,6 +57,7 @@ def tree_equal(a, b):
     return all(jax.tree_util.tree_leaves(eq))
 
 
+@pytest.mark.slow  # e2e resume invariant — full-gate coverage
 def test_resume_is_bit_exact(tmp_outdir):
     straight, _, _ = build(tmp_outdir, "a")
     straight.state, _ = straight.fns.train_chunk(straight.state, 200)
@@ -73,6 +75,7 @@ def test_resume_is_bit_exact(tmp_outdir):
     assert int(resumed.state.step) == 200
 
 
+@pytest.mark.slow  # e2e resume invariant — full-gate coverage
 def test_resume_is_bit_exact_bf16_moments(tmp_outdir):
     """--adam_dtype bf16: the bfloat16 moment buffers must survive the
     checkpoint round-trip with their dtype AND bits (moments round to bf16
@@ -136,6 +139,7 @@ def test_model_pkl_layout_and_roundtrip(tmp_outdir):
     assert int(m1.count) == 50
 
 
+@pytest.mark.slow  # reliability e2e — full-gate coverage
 def test_state_dict_flag_resumes_params(tmp_outdir):
     trainer, out, _ = build(tmp_outdir, "sd1")
     trainer.state, _ = trainer.fns.train_chunk(trainer.state, 30)
@@ -158,6 +162,7 @@ def test_checkpoint_never_replaced_by_older(tmp_outdir):
     assert int(restored.step) == 20  # newer checkpoint survived
 
 
+@pytest.mark.slow  # heaviest e2e in the file (~1 min on 1 core)
 def test_resume_artifacts_equal_uninterrupted(tmp_outdir):
     """A preempted + resumed run must emit a losses.npz IDENTICAL to an
     uninterrupted run's: checkpoints carry the full host-side run state
@@ -236,6 +241,7 @@ def test_make_output_dir_reuse_existing(tmp_outdir):
     assert out2 == out and os.path.exists(marker)
 
 
+@pytest.mark.slow  # reliability e2e — full-gate coverage
 def test_mixed_backends_restore_newest(tmp_outdir):
     """A newer orbax sync save must win over an older msgpack async save
     (and vice versa): restore follows the meta's backend, and the
@@ -299,6 +305,7 @@ def test_orbax_backend_roundtrip(tmp_outdir):
     assert float(np.asarray(resumed.current_epsilon)) == -2.5
     assert tree_equal(resumed.state.params, trainer.state.params)
 
+@pytest.mark.slow  # reliability e2e — full-gate coverage
 def test_orbax_swap_is_preemption_safe(tmp_outdir):
     """A kill between the orbax swap's two renames leaves the set-aside
     .old directory; restore and checkpoint_exists must still see it."""
@@ -397,6 +404,7 @@ def test_stale_async_save_after_newer_sync_save(tmp_outdir):
     assert meta["step"] == 25
 
 
+@pytest.mark.slow  # reliability e2e — full-gate coverage
 def test_orbax_old_promoted_not_deleted_before_new_save(tmp_outdir):
     """ADVICE r2: when only the set-aside .old survives a mid-swap
     preemption, the next save must PROMOTE it back to `path` before

@@ -67,6 +67,7 @@ def test_kl_nonnegative_on_live_dims():
     assert np.all(kl >= -1e-5)
 
 
+@pytest.mark.slow  # -nojit step-through is inherently slow
 def test_nojit_mode_runs(tmp_outdir):
     """-nojit stays usable: chunks are capped and the run completes."""
     from run import main

@@ -89,6 +89,7 @@ def test_isolated_runner_recycles_init_hangs(tmp_path, monkeypatch, capsys):
     assert "init hang" in capsys.readouterr().err
 
 
+@pytest.mark.slow  # wall-clock child deadline test
 def test_isolated_runner_started_child_gets_full_timeout(
         tmp_path, monkeypatch, capsys):
     """A child past init (here: it printed stdout) is never recycled by the
@@ -106,6 +107,7 @@ def test_isolated_runner_started_child_gets_full_timeout(
     assert "init hang" not in err
 
 
+@pytest.mark.slow  # wall-clock child deadline test
 def test_isolated_runner_stderr_marker_counts_as_init(
         tmp_path, monkeypatch, capsys):
     """run.py's early `devices:` stderr marker must lift the init deadline

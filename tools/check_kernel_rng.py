@@ -7,12 +7,30 @@ use, then checks moments and a chi-squared normality fit. The training-side
 validation of the RNG is the analytic-oracle convergence of full sweep rows;
 this tool isolates the sampler itself.
 
-Also validates the PACKED noise mode's premise (linear_vae._make_kernel
-``packed_noise``): the lane windows it pairs — a block's lower half with
-its rolled upper half — must be independent, checked as a direct
-correlation over the paired elements.
+Battery (round 4 — VERDICT r3 item 5 deepened it from one statistic to
+the full set below; all on-hardware):
 
-Last recorded run (v5e, 2026-08-18):
+1. Global moments + chi-squared N(0,1) fit over 100 exact-quantile bins.
+2. Box-Muller cos/sin partner correlation (the pair shares a radius —
+   the classic failure mode if the transform were misused).
+3. PACKED-WINDOW battery (the packed noise mode's premise,
+   linear_vae._make_kernel ``packed_noise``): the four disjoint lane
+   windows that feed the four noise consumers — manifold draw = upper
+   half of block A (rolled), z2 = lower half of A, z1 = lower half of B,
+   observation noise = upper half of B — each get mean/var/skew/excess-
+   kurtosis, plus the FULL 4x4 cross-window correlation matrix over
+   positionally-paired elements.
+4. Cross-STEP autocorrelation: consecutive per-step draws of one chunk's
+   sequential PRNG stream, lags 1..4, positionally aligned.
+5. Cross-ROW stream independence (grid mode): 16 row streams seeded by
+   the ACTUAL 31-bit xor-fold construction (chunk_seed_and_t0 on
+   TrainStates with the grid's fold_in key chains), all-pairs stream
+   correlation. The analytic collision argument lives in
+   chunk_seed_and_t0's docstring (p ~ 1e-7 per chunk for a 21-row
+   launch, re-rolled every chunk).
+
+Last recorded run: see PARITY.md §6's RNG battery table (v5e).
+Historical (v5e, 2026-08-18, pre-battery):
     n=4,194,304  mean=-0.00041  std=0.99997  skew=-0.00085  ex.kurt=+0.00259
     chi2(99 dof, exact N(0,1) bins)=97.6 -> PASS
     cos/sin partner correlation=+0.00067
@@ -67,6 +85,104 @@ def draw(seed: int, n_blocks: int = 128) -> np.ndarray:
     return np.asarray(out).reshape(-1)
 
 
+def _stats4(x: np.ndarray):
+    m, s = x.mean(), x.std()
+    skew = ((x - m) ** 3).mean() / s**3
+    kurt = ((x - m) ** 4).mean() / s**4 - 3.0
+    return m, s, skew, kurt
+
+
+def packed_window_battery() -> bool:
+    """Per-consumer-window moments + full cross-window correlation for the
+    packed draw's four lane windows (one step = one (A, B) block pair)."""
+    a = draw(2468).reshape(-1, N, N)   # steps of block A
+    b = draw(8642).reshape(-1, N, N)   # steps of block B
+    # NOTE: draw() emits (cos, sin) pairs sequentially; in the kernel one
+    # STEP consumes one pair as (A, B). Windows per the kernel's packed
+    # derivation (linear_vae._make_kernel):
+    windows = {
+        "manifold (A upper)": a[:, :, N // 2:],
+        "z2       (A lower)": a[:, :, : N // 2],
+        "z1       (B lower)": b[:, :, : N // 2],
+        "obs      (B upper)": b[:, :, N // 2:],
+    }
+    ok = True
+    flat = {}
+    for name, w in windows.items():
+        w = w.reshape(-1)
+        flat[name] = w
+        m, s, sk, ku = _stats4(w)
+        # n ~ 0.5M/window: sigma(skew)=sqrt(6/n)~3.4e-3, sigma(kurt)~6.9e-3
+        w_ok = (abs(m) < 5e-3 and abs(s - 1) < 5e-3
+                and abs(sk) < 0.02 and abs(ku) < 0.04)
+        ok = ok and w_ok
+        print(f"  window {name}: mean={m:+.5f} std={s:.5f} "
+              f"skew={sk:+.5f} ex.kurt={ku:+.5f} "
+              f"-> {'PASS' if w_ok else 'FAIL'}")
+    names = list(flat)
+    corr = np.corrcoef(np.stack([flat[n] for n in names]))
+    off = corr[~np.eye(4, dtype=bool)]
+    c_ok = np.abs(off).max() < 0.01
+    ok = ok and c_ok
+    print("  cross-window correlation matrix (order: manifold, z2, z1, obs):")
+    for row in corr:
+        print("   ", "  ".join(f"{v:+.5f}" for v in row))
+    print(f"  max |off-diagonal| = {np.abs(off).max():.5f} "
+          f"-> {'PASS' if c_ok else 'FAIL'}")
+    return bool(ok)
+
+
+def cross_step_battery() -> bool:
+    """Lag-1..4 autocorrelation between consecutive per-step draws of one
+    chunk's sequential in-kernel stream (positionally aligned elements)."""
+    steps = draw(1357, n_blocks=128).reshape(-1, N * N)  # 128 seq. blocks
+    ok = True
+    for lag in (1, 2, 3, 4):
+        x = steps[:-lag].reshape(-1)
+        y = steps[lag:].reshape(-1)
+        c = np.corrcoef(x, y)[0, 1]
+        l_ok = abs(c) < 0.01
+        ok = ok and l_ok
+        print(f"  cross-step lag-{lag} autocorrelation={c:+.5f} "
+              f"(n={x.size}) -> {'PASS' if l_ok else 'FAIL'}")
+    return bool(ok)
+
+
+def cross_row_battery() -> bool:
+    """Grid-mode row-stream independence using the ACTUAL seed derivation:
+    16 TrainStates with the grid's distinct fold_in key chains ->
+    chunk_seed_and_t0 31-bit xor-fold seeds -> one stream each; all-pairs
+    correlation of the streams must vanish."""
+    import optax
+
+    from vae_training_tpu.kernels.linear_vae import chunk_seed_and_t0
+    from vae_training_tpu.train import TrainState
+
+    params = {"w": jnp.zeros((2, 2), jnp.float32)}
+    tx = optax.adam(1e-3)
+    seeds = []
+    for row in range(16):
+        # the grid derives each row's keys from its own seed chain; any
+        # distinct (model_key, data_key) pair is representative
+        st = TrainState.create(
+            params=params, tx=tx,
+            model_key=jax.random.PRNGKey(1000 + row),
+            data_key=jax.random.PRNGKey(2000 + row))
+        seeds.append(int(chunk_seed_and_t0(st)[0]))
+    uniq = len(set(seeds))
+    print(f"  16 grid-derived 31-bit seeds, {uniq} distinct: "
+          f"{[f'{s:08x}' for s in seeds[:4]]}...")
+    streams = np.stack([draw(s, n_blocks=16) for s in seeds])
+    corr = np.corrcoef(streams)
+    off = corr[~np.eye(len(seeds), dtype=bool)]
+    # n = 262144 per stream: sigma(corr) ~ 2e-3, bound 0.02 = 10 sigma
+    ok = uniq == 16 and np.abs(off).max() < 0.02
+    print(f"  all-pairs stream correlation: max |corr| = "
+          f"{np.abs(off).max():.5f}, mean |corr| = {np.abs(off).mean():.5f} "
+          f"(120 pairs, n=262144 each) -> {'PASS' if ok else 'FAIL'}")
+    return bool(ok)
+
+
 def main() -> int:
     x = np.concatenate([draw(12345), draw(54321)])
     n = x.size
@@ -111,6 +227,14 @@ def main() -> int:
           f"(n={lo.size} pairs)")
     ok = (ok and abs(mean) < 5e-3 and abs(std - 1) < 5e-3
           and abs(pair_corr) < 0.01 and abs(half_corr) < 0.01)
+
+    print("packed-window battery:")
+    ok = packed_window_battery() and ok
+    print("cross-step battery:")
+    ok = cross_step_battery() and ok
+    print("cross-row (grid seed) battery:")
+    ok = cross_row_battery() and ok
+
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
