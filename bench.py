@@ -458,6 +458,19 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
     return last_code
 
 
+def cli() -> int:
+    """Console entry point (``vae-bench``) — same supervise-by-default
+    contract as ``python bench.py``. One difference: as an imported module
+    the jax import above already ran in this (supervisor) process — merely
+    importing jax does not initialize the PJRT backend, so the supervisor
+    still never touches the axon init it exists to watch."""
+    if (not os.environ.get("VAE_BENCH_CHILD")
+            and "--no-supervise" not in sys.argv):
+        return supervise()
+    sys.argv = [a for a in sys.argv if a != "--no-supervise"]
+    return main()
+
+
 if __name__ == "__main__":
     if _IS_SUPERVISOR:
         sys.exit(supervise())

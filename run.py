@@ -99,7 +99,9 @@ def main(cfg: RunConfig) -> int:
     return 0
 
 
-if __name__ == "__main__":
+def cli() -> int:
+    """Console entry point (``vae-train``) — identical to ``python run.py``:
+    parse the reference flag surface, honor -nojit/--debug_nans, run."""
     import jax
 
     cfg = parse_arguments()
@@ -107,6 +109,9 @@ if __name__ == "__main__":
         jax.config.update("jax_debug_nans", True)
     if cfg.nojit:
         with jax.disable_jit():
-            sys.exit(main(cfg))
-    else:
-        sys.exit(main(cfg))
+            return main(cfg)
+    return main(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(cli())

@@ -277,3 +277,51 @@ def test_tp_only_mesh_trains():
     state1 = fns1.place_state(_make_state(model, dataset, tx, 4))
     _, losses1 = fns1.train_chunk(state1, 2)
     assert bool(jnp.all(jnp.isfinite(losses1)))
+
+
+def test_tp_zero_sharded_params_errors_by_default(capfd):
+    """VERDICT r4 item 4: a tp request that shards NOTHING (every dim
+    non-divisible) is a silent full-replication throughput loss — it must
+    fail fast, like the mesh -1 wildcard guard."""
+    dataset = SphereDataset(dim=3, padding_dim=1)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=4,
+                      encoder_layer_sizes="12|12", decoder_layer_sizes="12|12",
+                      epsilon=-1.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh("tp=8")
+    fns = make_gspmd_step_fns(model, dataset, tx, batch_size=16, mesh=mesh)
+    with pytest.raises(ValueError, match="ZERO parameters"):
+        fns.place_state(_make_state(model, dataset, tx, 4))
+    # opt-out: --tp_allow_replicated accepts it, loudly, and still trains
+    fns = make_gspmd_step_fns(model, dataset, tx, batch_size=16, mesh=mesh,
+                              tp_allow_replicated=True)
+    state = fns.place_state(_make_state(model, dataset, tx, 4))
+    err = capfd.readouterr().err
+    assert "training it REPLICATED" in err
+    assert state.params["Encoder"]["FC0"]["kernel"].sharding.spec == P(None, None)
+    state, losses = fns.train_chunk(state, 3)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+
+
+def test_tp_partial_drop_notes_but_trains(capfd):
+    """Replicating only the tiny head (latent 6 with tp=4) is normal
+    Megatron practice: no error, but each dropped parameter gets a loud
+    stderr note — never silent."""
+    dataset = SphereDataset(dim=3, padding_dim=5)
+    model = build_vae(data_dim=dataset.dimension, latent_dim=6,
+                      encoder_layer_sizes="64|64", decoder_layer_sizes="64|64",
+                      epsilon=-3.0, tunable_decoder_var=True)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh("dp=2,tp=4")
+    fns = make_gspmd_step_fns(model, dataset, tx, batch_size=64, mesh=mesh)
+    state = fns.place_state(_make_state(model, dataset, tx, 6))
+    err = capfd.readouterr().err
+    assert "is not divisible by tp=4; training it REPLICATED" in err
+    # hidden kernels still sharded; the non-divisible head replicated
+    assert state.params["Encoder"]["FC0"]["kernel"].sharding.spec == P(None, "tp")
+    enc_layers = sorted(state.params["Encoder"].keys())
+    head = state.params["Encoder"][enc_layers[-1]]["kernel"]
+    assert head.shape[-1] % 4 != 0  # the latent-6 head is the dropped one
+    assert "tp" not in tuple(head.sharding.spec)
+    state, losses = fns.train_chunk(state, 3)
+    assert bool(jnp.all(jnp.isfinite(losses)))

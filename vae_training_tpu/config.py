@@ -55,6 +55,11 @@ class RunConfig:
     # divisible by the explicit axes). Off by default: idle chips are a
     # silent throughput loss the user must acknowledge.
     mesh_allow_uneven: bool = False
+    # Accept tp-requested parameters whose dims aren't divisible by tp
+    # training fully REPLICATED (loud stderr note per parameter). Off by
+    # default: silently losing the requested tensor parallelism is the same
+    # throughput-loss class as idle wildcard chips — it must be explicit.
+    tp_allow_replicated: bool = False
     kernels: str = "auto"  # auto | xla | pallas
     model_seed: int = 0  # reference fixes PRNGKey(0) (/root/reference/model.py:29)
     resume: Optional[str] = None  # checkpoint dir to resume from
@@ -195,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Allow a -1 mesh wildcard to leave devices idle "
                         "when the device count is not divisible by the "
                         "explicit axes (default: error).")
+    p.add_argument("--tp_allow_replicated", dest="tp_allow_replicated",
+                   action="store_true",
+                   help="Allow parameters whose dims are not divisible by "
+                        "the tp mesh axis to train fully replicated (loud "
+                        "per-parameter stderr note; default: error).")
     p.add_argument("--kernels", dest="kernels", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="Compute backend for the fused train step.")

@@ -27,9 +27,11 @@ def make_parallel_step_fns(
     mesh_spec: str,
     devices=None,
     allow_uneven: bool = False,
+    tp_allow_replicated: bool = False,
 ) -> StepFns:
     axes = parse_mesh_spec(mesh_spec)
     mesh = make_mesh(mesh_spec, devices=devices, allow_uneven=allow_uneven)
     if axes.get("tp", 1) > 1:
-        return make_gspmd_step_fns(model, dataset, tx, batch_size, mesh)
+        return make_gspmd_step_fns(model, dataset, tx, batch_size, mesh,
+                                   tp_allow_replicated=tp_allow_replicated)
     return make_dp_step_fns(model, dataset, tx, batch_size, mesh)

@@ -10,6 +10,7 @@ the sharding annotations ARE the parallelism specification.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Tuple
 
@@ -47,12 +48,29 @@ def _param_spec(path: Tuple, leaf) -> P:
     return P()
 
 
-def _shardable(spec: P, leaf, tp: int) -> P:
-    """Drop shardings that don't divide the dimension evenly."""
+def _shardable(spec: P, leaf, tp: int, path=None, dropped=None,
+               quiet: bool = False) -> P:
+    """Resolve a requested spec against the leaf's actual shape.
+
+    A ``tp`` axis that does not divide its dimension cannot be sharded; the
+    parameter trains REPLICATED. Replicating a small head/bias is normal
+    Megatron practice, but it must never be silent: each drop is recorded
+    in ``dropped`` and announced on stderr (``quiet`` suppresses the note
+    for the Adam-moment trees, which mirror params and would triple it)."""
     dims = tuple(spec)
     out = []
     for i, axis in enumerate(dims):
         if axis == "tp" and (i >= leaf.ndim or leaf.shape[i] % tp != 0):
+            name = jax.tree_util.keystr(path) if path else "<param>"
+            shape = tuple(getattr(leaf, "shape", ()))
+            if dropped is not None:
+                dropped.append((name, shape))
+            if not quiet:
+                print(
+                    f"[tp] parameter {name} (shape {shape}) is not "
+                    f"divisible by tp={tp}; training it REPLICATED",
+                    file=sys.stderr, flush=True,
+                )
             out.append(None)
         else:
             out.append(axis)
@@ -61,29 +79,59 @@ def _shardable(spec: P, leaf, tp: int) -> P:
     return P(*out)
 
 
-def param_sharding_tree(params, mesh: Mesh):
+def param_sharding_tree(params, mesh: Mesh, allow_replicated: bool = False,
+                        quiet: bool = False):
+    """Sharding tree for a param pytree under the Megatron column/row rule.
+
+    Guards against SILENT tensor-parallelism loss (the same class the mesh
+    -1 wildcard guard kills, parallel/mesh.py:100-114): every tp sharding
+    dropped for non-divisibility gets a loud stderr note, and if the drops
+    leave ZERO parameters tp-sharded — e.g. ``--mesh tp=3`` on the 200-wide
+    sphere layers, which would train fully replicated at tp=1 speed — it is
+    an error unless ``allow_replicated`` (CLI: ``--tp_allow_replicated``)."""
     tp = mesh.shape.get("tp", 1)
+    dropped: list = []
+    sharded = [0]
 
     def one(path, leaf):
         spec = _param_spec(path, leaf) if tp > 1 else P()
-        spec = _shardable(spec, leaf, tp)
+        spec = _shardable(spec, leaf, tp, path=path, dropped=dropped,
+                          quiet=quiet)
+        if "tp" in tuple(spec):
+            sharded[0] += 1
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(one, params)
+    tree = jax.tree_util.tree_map_with_path(one, params)
+    if tp > 1 and dropped and sharded[0] == 0 and not allow_replicated:
+        names = ", ".join(f"{n}{s}" for n, s in dropped)
+        raise ValueError(
+            f"tensor parallelism tp={tp} shards ZERO parameters: every "
+            f"requested sharding was dropped for non-divisibility "
+            f"({names}). The model would train fully replicated at tp=1 "
+            f"speed — pick a tp that divides the layer widths, or pass "
+            f"--tp_allow_replicated to accept it."
+        )
+    return tree
 
 
-def state_sharding_tree(state: TrainState, mesh: Mesh):
+def state_sharding_tree(state: TrainState, mesh: Mesh,
+                        allow_replicated: bool = False):
     """Shardings for the full TrainState: params + Adam moments sharded by
     the param rule (their trees mirror params), everything else replicated."""
-    param_sh = param_sharding_tree(state.params, mesh)
+    param_sh = param_sharding_tree(state.params, mesh,
+                                   allow_replicated=allow_replicated)
     replicated = NamedSharding(mesh, P())
 
     def opt_entry(s):
         if isinstance(s, optax.ScaleByAdamState):
+            # moments mirror params: same divisibility outcome, so pass
+            # allow_replicated quietly (params above already raised/warned)
             return optax.ScaleByAdamState(
                 count=replicated,
-                mu=param_sharding_tree(s.mu, mesh),
-                nu=param_sharding_tree(s.nu, mesh),
+                mu=param_sharding_tree(s.mu, mesh, allow_replicated=True,
+                                       quiet=True),
+                nu=param_sharding_tree(s.nu, mesh, allow_replicated=True,
+                                       quiet=True),
             )
         return jax.tree_util.tree_map(lambda _: replicated, s)
 
@@ -107,6 +155,7 @@ def make_gspmd_step_fns(
     tx: optax.GradientTransformation,
     batch_size: int,
     mesh: Mesh,
+    tp_allow_replicated: bool = False,
 ) -> StepFns:
     dp = mesh.shape.get("dp", 1) * mesh.shape.get("dp_dcn", 1)
     if batch_size % max(dp, 1) != 0:
@@ -146,7 +195,10 @@ def make_gspmd_step_fns(
     base = make_step_fns(model, dataset, tx, batch_size)
 
     def place(state: TrainState) -> TrainState:
-        return jax.device_put(state, state_sharding_tree(state, mesh))
+        return jax.device_put(
+            state,
+            state_sharding_tree(state, mesh,
+                                allow_replicated=tp_allow_replicated))
 
     return StepFns(
         train_chunk=train_chunk,

@@ -278,6 +278,8 @@ class Trainer:
                 self.cfg.batch_size,
                 mesh_spec=self.cfg.mesh,
                 allow_uneven=getattr(self.cfg, "mesh_allow_uneven", False),
+                tp_allow_replicated=getattr(
+                    self.cfg, "tp_allow_replicated", False),
             )
         if self.cfg.kernels == "auto" and self.cfg.nojit:
             pass  # interpreted debugging uses the plain XLA path
