@@ -16,6 +16,15 @@ throughput scales linearly with chip count while each chip keeps the full
 single-chip fused-kernel rate. This is the idiomatic multi-chip shape for
 this workload — scale the sweep, not the (tiny) per-seed batch.
 
+Multi-process (``--multihost``): the same sharded grid spans hosts, and row
+OWNERSHIP follows device placement — each process fetches only the rows
+whose shards live on its local devices (``fetch_grid_rows``), writes only
+its own rows' artifacts into the per-seed outdirs, and prints its own rows'
+console lines with a ``[pK]`` process tag. Process 0 creates every row
+directory + manifest; a barrier releases the other processes' writes.
+Per-row artifacts are bit-identical to the single-process grid run
+(tests/test_multihost.py).
+
 Key derivation mirrors the SOLO Trainer exactly (train/loop.py:120-158):
 every row shares the single ``PRNGKey(model_seed)`` chain — the reference
 runs every sweep row with the same fixed model key
@@ -59,6 +68,48 @@ from .step import sample_z, split_z
 
 def stack_pytrees(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def fetch_grid_rows(tree, rows, n_rows: int):
+    """Host copies ``{row: pytree_row}`` of grid rows from a tree whose
+    array leaves lead with the row axis, touching only ADDRESSABLE shards.
+
+    The multi-process grid shards the seed axis across processes;
+    ``jax.device_get`` of the full global array would fail on the shards
+    other processes own, so every host-side consumer (stats, saves, plots,
+    loss recording) goes through this instead — each process fetches
+    exactly the rows it owns. Single-process, every shard is addressable
+    and ``rows`` covers the whole grid."""
+    want = set(rows)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    per_leaf = []
+    for leaf in leaves:
+        got = {}
+        if not isinstance(leaf, jax.Array):
+            arr = np.asarray(leaf)
+            for r in want:
+                got[r] = arr[r]
+        else:
+            for sh in leaf.addressable_shards:
+                sl = sh.index[0] if sh.index else slice(None)
+                start, stop, step = sl.indices(leaf.shape[0])
+                data = None  # one host transfer per shard, fetched lazily
+                for off, r in enumerate(range(start, stop, step)):
+                    if r in want and r not in got:
+                        if data is None:
+                            data = np.asarray(sh.data)
+                        got[r] = data[off]
+        missing = want - set(got)
+        if missing:
+            raise ValueError(
+                f"grid rows {sorted(missing)} are not addressable on "
+                f"process {jax.process_index()}; a process may only fetch "
+                f"rows whose shards live on its local devices")
+        per_leaf.append(got)
+    return {
+        r: jax.tree_util.tree_unflatten(treedef, [pl[r] for pl in per_leaf])
+        for r in sorted(want)
+    }
 
 
 def donation_safe_fallback(attempt_fn, fallback_fn, state_argnum: int,
@@ -158,6 +209,28 @@ class GridTrainer:
                 raise ValueError(
                     f"--seed_grid with --mesh dp={dp} needs the seed count "
                     f"to divide evenly; got {len(self.seeds)} seeds"
+                )
+        # Multi-process grid (--multihost --seed_grid): the seed axis shards
+        # across processes and each process OWNS its local devices' rows —
+        # it fetches only addressable shards and writes/prints only its own
+        # rows' artifacts (the sharded chunk has zero collectives, so
+        # scale-out is pure row partitioning). Fail fast on shapes where
+        # ownership can't be established.
+        self._owned_rows = list(range(len(self.seeds)))
+        if jax.process_count() > 1:
+            if self.mesh is None:
+                raise ValueError(
+                    "--seed_grid under --multihost requires a dp mesh "
+                    "(--mesh dp=N): seed rows must shard across processes "
+                    "so each process owns and writes its own rows"
+                )
+            mesh_procs = {d.process_index for d in self.mesh.devices.flat}
+            if mesh_procs != set(range(jax.process_count())):
+                raise ValueError(
+                    f"--seed_grid --multihost: the mesh must span every "
+                    f"process (mesh covers processes {sorted(mesh_procs)} "
+                    f"of {jax.process_count()}); size dp to the global "
+                    f"device count"
                 )
         if cfg.arch == "conv":
             raise ValueError("--seed_grid supports the MLP VAE architectures")
@@ -288,8 +361,28 @@ class GridTrainer:
             # seed axis sharded over dp: each device owns its rows, zero
             # cross-device traffic in the training chunk
             row_sharded = NamedSharding(self.mesh, P("dp"))
-            self.state_grid = jax.device_put(self.state_grid, row_sharded)
-            self.dataset_grid = jax.device_put(self.dataset_grid, row_sharded)
+            src_state, src_data = self.state_grid, self.dataset_grid
+            if jax.process_count() > 1:
+                # stage through host: each process built the SAME full grid
+                # (deterministic from seeds), and device_put of a host value
+                # onto a cross-process sharding takes each process's
+                # addressable slices locally — the canonical way to form a
+                # global array without collectives
+                src_state = jax.device_get(src_state)
+                src_data = jax.device_get(src_data)
+            self.state_grid = jax.device_put(src_state, row_sharded)
+            self.dataset_grid = jax.device_put(src_data, row_sharded)
+            if jax.process_count() > 1:
+                imap = row_sharded.devices_indices_map((len(self.seeds),))
+                owned = set()
+                for d, idx in imap.items():
+                    if d.process_index == jax.process_index():
+                        owned.update(range(*idx[0].indices(len(self.seeds))))
+                self._owned_rows = sorted(owned)
+        # console lines carry a process tag in multi-process runs (each row
+        # is printed by exactly one process — its owner)
+        self._proc_prefix = (f"[p{jax.process_index()}] "
+                             if jax.process_count() > 1 else "")
         # shared host chain = the solo Trainer's self.key after init; eval
         # data streams are per-row fold_in(PRNGKey(seed), 2) roots with a
         # shared counter, exactly loop.py's _next_eval_data_key
@@ -365,17 +458,24 @@ class GridTrainer:
                         f"({why}); use --kernels auto for the XLA fallback")
                 self._train_chunk = fused
             elif fused is not None:
-                # auto: runtime fallback — a config can exceed the kernel's
-                # VMEM envelope only at compile time — fall back to the
-                # vmapped XLA chunk instead of failing the run. The fused
-                # chunk DONATES state_grid, so the untried first attempt
-                # keeps a host backup to re-materialize from if the failure
-                # lands after donation (deleted buffers would poison the
-                # retry).
-                self._train_chunk = donation_safe_fallback(
-                    fused, train_chunk, state_argnum=1,
-                    label="[grid] fused kernel unavailable ({err}); "
-                          "using vmapped XLA")
+                if jax.process_count() > 1:
+                    # no runtime XLA fallback across processes: the
+                    # insurance backup device_gets the GLOBAL donated state,
+                    # which no single process can address — a compile-time
+                    # failure fails the whole run with its own error instead
+                    self._train_chunk = fused
+                else:
+                    # auto: runtime fallback — a config can exceed the
+                    # kernel's VMEM envelope only at compile time — fall
+                    # back to the vmapped XLA chunk instead of failing the
+                    # run. The fused chunk DONATES state_grid, so the
+                    # untried first attempt keeps a host backup to
+                    # re-materialize from if the failure lands after
+                    # donation (deleted buffers would poison the retry).
+                    self._train_chunk = donation_safe_fallback(
+                        fused, train_chunk, state_argnum=1,
+                        label="[grid] fused kernel unavailable ({err}); "
+                              "using vmapped XLA")
         self._build_eval(model, batch_size, latent_dim, data_dim)
 
     def _pallas_unavailable_reason(self) -> str:
@@ -407,19 +507,29 @@ class GridTrainer:
             return wrapped
         mesh = self.mesh
         extras = tuple(
-            jax.device_put(e, NamedSharding(mesh, P("dp"))) for e in extras
+            jax.device_put(
+                jax.device_get(e) if jax.process_count() > 1 else e,
+                NamedSharding(mesh, P("dp")))
+            for e in extras
         )
 
-        @partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnames=("state_grid",))
-        def wrapped(dataset_grid, state_grid, n_steps: int):
+        # extras flow as ARGUMENTS, not closure: jit may not close over a
+        # global array spanning processes (multihost fused grids put the
+        # stacked manifold matrices on the cross-process dp sharding above)
+        def raw(dataset_grid, state_grid, *extra_args, n_steps: int):
             return jax.shard_map(
                 partial(rows_fn, n_steps=n_steps),
                 mesh=mesh,
-                in_specs=(P("dp"),) * (2 + len(extras)),
+                in_specs=(P("dp"),) * (2 + len(extra_args)),
                 out_specs=(P("dp"), P("dp")),
                 check_vma=False,
-            )(dataset_grid, state_grid, *extras)
+            )(dataset_grid, state_grid, *extra_args)
+
+        jitted = jax.jit(raw, static_argnames=("n_steps",),
+                         donate_argnames=("state_grid",))
+
+        def wrapped(dataset_grid, state_grid, n_steps: int):
+            return jitted(dataset_grid, state_grid, *extras, n_steps=n_steps)
 
         return wrapped
 
@@ -612,15 +722,18 @@ class GridTrainer:
         keys = jax.vmap(
             lambda r: jax.random.fold_in(r, self._eval_counter)
         )(self._eval_data_roots)
-        out = jax.device_get(self._banner_grid(self.dataset_grid, keys))
+        rows = fetch_grid_rows(self._banner_grid(self.dataset_grid, keys),
+                               self._owned_rows, len(self.seeds))
         scores = []
-        for i, seed in enumerate(self.seeds):
+        for i in self._owned_rows:
+            out = rows[i]
             if "_batch" in out:
-                score = self.datasets[i].score_host(np.asarray(out["_batch"][i]))
+                score = self.datasets[i].score_host(np.asarray(out["_batch"]))
             else:
                 # 0-d np arrays: the solo banner's exact console repr
-                score = {k: np.asarray(v[i]) for k, v in out.items()}
-            print(f"[seed {seed}] Score for real data: {score}", flush=True)
+                score = {k: np.asarray(v) for k, v in out.items()}
+            print(f"{self._proc_prefix}[seed {self.seeds[i]}] "
+                  f"Score for real data: {score}", flush=True)
             scores.append(score)
         return scores
 
@@ -633,35 +746,53 @@ class GridTrainer:
         eval_keys = jax.vmap(
             lambda r: jax.random.fold_in(r, self._eval_counter)
         )(self._eval_data_roots)
-        eps = jnp.asarray(
-            [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
-            jnp.float32,
-        )
-        loss, dkl, mse, logvar_e, epsilon, score = jax.device_get(
+        eps = self._eps_array()
+        rows = fetch_grid_rows(
             self._eval_grid(self.dataset_grid, self.state_grid, eval_keys,
-                            gen_key, eps)
+                            gen_key, eps),
+            self._owned_rows, len(self.seeds),
         )
-        for i, seed in enumerate(self.seeds):
+        for i in self._owned_rows:
+            loss, dkl, mse, logvar_e, epsilon, score = rows[i]
             rec = self.recorders[i]
-            rec.append_eval(loss[i], logvar_e[i], epsilon[i])
-            self.current_epsilon[i] = epsilon[i]
-            stats = {"VAE Loss": loss[i], "KL divergence": dkl[i],
-                     "mse": mse[i]}
+            rec.append_eval(loss, logvar_e, epsilon)
+            self.current_epsilon[i] = epsilon
+            stats = {"VAE Loss": loss, "KL divergence": dkl, "mse": mse}
             if "_fake" in score:
                 stats.update(self.datasets[i].score_host(
-                    np.asarray(score["_fake"][i])))
+                    np.asarray(score["_fake"])))
             else:
-                stats.update({k: v[i] for k, v in score.items()})
+                stats.update(score)
             msg = rec.write_stats(self.batchnum, stats)
-            print(f"[seed {seed}] {msg}", flush=True)
+            print(f"{self._proc_prefix}[seed {self.seeds[i]}] {msg}",
+                  flush=True)
+
+    def _eps_array(self):
+        """The per-row decoder log-variance as a device operand. Each
+        process only tracks ``current_epsilon`` for rows it owns, so in
+        multi-process runs the array is assembled ROW-SHARDED: device_put
+        onto the dp sharding takes each process's addressable slices from
+        its local copy — the stale non-owned entries never reach a device."""
+        eps = np.asarray(
+            [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
+            np.float32,
+        )
+        if jax.process_count() > 1:
+            return jax.device_put(eps, NamedSharding(self.mesh, P("dp")))
+        return jnp.asarray(eps)
 
     def save_all(self, outdirs, final=False):
-        # unstack the grid state once on host
-        states = jax.device_get(self.state_grid)
+        # unstack the owned grid rows once on host (multi-process: each
+        # process saves exactly the rows it owns — every row is written by
+        # exactly one process)
+        state_rows = fetch_grid_rows(self.state_grid, self._owned_rows,
+                                     len(self.seeds))
         # In-loop saves run inside the event block AFTER this step's events
         # (batchnum == step); the end-of-run save happens after the loop
         # (batchnum == total-1, step == total).
-        events_fired = self.batchnum == int(np.asarray(states.step).reshape(-1)[0])
+        first = state_rows[self._owned_rows[0]]
+        events_fired = self.batchnum == int(
+            np.asarray(first.step).reshape(-1)[0])
         # Everything below is pure host IO (~175 ms/row: checkpoint
         # serialize + model.pkl + losses.npz) — enqueued on the artifact
         # writer so it overlaps the next train chunks. All mutable inputs
@@ -672,9 +803,9 @@ class GridTrainer:
         # per-dir npz → pkl → checkpoint sequence and the checkpoint
         # step-ordering guard intact.
         writer = get_artifact_writer()
-        for i, out in enumerate(outdirs):
-            take = lambda x: x[i]
-            state_i = jax.tree_util.tree_map(take, states)
+        for i in self._owned_rows:
+            out = outdirs[i]
+            state_i = state_rows[i]
             rec_state = self.recorders[i].to_state()
             extra_meta = {"current_epsilon": float(
                 np.asarray(self.current_epsilon[i]).reshape(-1)[0])}
@@ -717,12 +848,22 @@ class GridTrainer:
         bit-exact under any chunking."""
         import json
 
-        from ..runio.checkpoint import restore_checkpoint, restore_checkpoint_aux
+        from ..runio.checkpoint import (checkpoint_exists, restore_checkpoint,
+                                        restore_checkpoint_aux)
+        from ..utils.process import check_shared_fs
 
-        host_states = jax.device_get(self.state_grid)
+        check_shared_fs(all(checkpoint_exists(o) for o in outdirs),
+                        outdirs[0], what="grid row checkpoints")
+        # One owned row serves as the restore template for EVERY row (all
+        # rows share shapes/dtypes). Multi-process: each process restores
+        # all rows from disk to rebuild the full grid — like the solo
+        # multihost resume, this requires the checkpoints on a filesystem
+        # visible to every process (docs/architecture.md, Scale-out).
+        template = fetch_grid_rows(
+            self.state_grid, [self._owned_rows[0]], len(self.seeds)
+        )[self._owned_rows[0]]
         restored, steps = [], []
         for i, out in enumerate(outdirs):
-            template = jax.tree_util.tree_map(lambda x: x[i], host_states)
             state_i = restore_checkpoint(out, template)
             steps.append(int(state_i.step))
             restored.append(state_i)
@@ -760,15 +901,15 @@ class GridTrainer:
         self.batchnum = steps[0]
         self.state_grid = stack_pytrees(restored)
         if self.mesh is not None:
+            src = (jax.device_get(self.state_grid)
+                   if jax.process_count() > 1 else self.state_grid)
             self.state_grid = jax.device_put(
-                self.state_grid, NamedSharding(self.mesh, P("dp")))
+                src, NamedSharding(self.mesh, P("dp")))
 
     def plot_all(self, outdirs):
         """Per-seed diagnostic plots from vmapped ancestral sampling."""
         self._host_key, gen_key = jax.random.split(self._host_key)
-        eps = jnp.asarray(
-            [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
-            jnp.float32)
+        eps = self._eps_array()
         if getattr(self, "_plot_generate", None) is None:
             # jitted ONCE per trainer (gen_key is an argument, not a
             # closure) — a fresh jit per plot event would recompile the
@@ -788,14 +929,15 @@ class GridTrainer:
             self._plot_generate = jax.jit(
                 jax.vmap(one, in_axes=(0, 0, None)))
 
-        fakes = jax.device_get(self._plot_generate(
-            self.state_grid, eps, gen_key))
+        fakes = fetch_grid_rows(
+            self._plot_generate(self.state_grid, eps, gen_key),
+            self._owned_rows, len(self.seeds))
         # ~140 ms of matplotlib per row — off the critical path. ALL figure
         # writing during a grid run rides the single artifact-writer thread
         # (pyplot is not multi-thread-safe); `fakes` is host data by now.
         writer = get_artifact_writer()
-        for i, out in enumerate(outdirs):
-            fn = os.path.join(out, f"output_{self.batchnum}.png")
+        for i in self._owned_rows:
+            fn = os.path.join(outdirs[i], f"output_{self.batchnum}.png")
             writer.submit(partial(self.datasets[i].plot_batch, fakes[i], fn=fn))
 
     def train(self, outdirs):
@@ -814,9 +956,11 @@ class GridTrainer:
                 n = self._next_event(b) - b
                 self.state_grid, losses = self._train_chunk(
                     self.dataset_grid, self.state_grid, n)
-                losses = jax.device_get(losses)  # (n_seeds, n)
-                for i in range(len(self.seeds)):
-                    self.recorders[i].append_train_losses(losses[i])
+                # (n_seeds, n) row-sharded: record the rows owned here
+                loss_rows = fetch_grid_rows(losses, self._owned_rows,
+                                            len(self.seeds))
+                for i in self._owned_rows:
+                    self.recorders[i].append_train_losses(loss_rows[i])
                 b += n
             self.batchnum = max(total - 1, 0)
         except BaseException:
@@ -848,6 +992,14 @@ def run_seed_grid(cfg: RunConfig, seeds: Sequence[int], name_fn=None) -> int:
                             data_dir=cfg.data_dir,
                             reuse_existing=bool(cfg.resume))
         )
+    if jax.process_count() > 1:
+        # process 0 created every row dir + manifest above (make_output_dir
+        # is primary-gated); barrier so other processes don't write their
+        # owned rows' artifacts into not-yet-created directories. Requires
+        # the data dir on a shared filesystem (docs/architecture.md).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vae_grid_outdirs")
     if cfg.resume:
         trainer.restore(outdirs)
     trainer.train(outdirs)

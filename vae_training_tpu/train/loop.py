@@ -201,6 +201,10 @@ class Trainer:
         # Resume paths: full checkpoint (--resume) or reference-layout
         # model.pkl (--state_dict, made real — SURVEY.md §3.5).
         if cfg.resume:
+            from ..runio.checkpoint import checkpoint_exists
+            from ..utils.process import check_shared_fs
+
+            check_shared_fs(checkpoint_exists(cfg.resume), cfg.resume)
             self.state = restore_checkpoint(cfg.resume, self.state)
             if self.fns.place_state is not None:
                 # restored leaves are host arrays; re-shard onto the mesh
@@ -245,6 +249,10 @@ class Trainer:
                 if "current_epsilon" in meta:
                     self.current_epsilon = meta["current_epsilon"]
         elif cfg.state_dict:
+            from ..utils.process import check_shared_fs
+
+            check_shared_fs(os.path.exists(cfg.state_dict), cfg.state_dict,
+                            what="state dict")
             params, opt_state = load_model_pkl(
                 cfg.state_dict, self.state.params, self.state.opt_state
             )
