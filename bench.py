@@ -258,6 +258,108 @@ def latency_mode(trainer, reps: int = 200):
         f"p90={np.percentile(t,90):.0f} p99={np.percentile(t,99):.0f}")
 
 
+# ---------------------------------------------------------------------------
+# Analytic FLOPs / MFU accounting (the bench contract's compute denominator).
+# Peak dense matmul throughput by device kind, bf16 operands (the MXU's
+# native mode and this framework's default precision). MFU is always quoted
+# against the bf16 peak — with --precision fp32 the dots cost ~3 bf16 passes,
+# so the fp32 numbers read honestly lower rather than against a softer peak.
+PEAK_MATMUL_FLOPS = (
+    ("v5 lite", 197e12), ("v5e", 197e12),   # TPU v5e
+    ("v5p", 459e12),
+    ("v6", 918e12), ("trillium", 918e12),
+    ("v4", 275e12),
+)
+
+
+def device_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for frag, peak in PEAK_MATMUL_FLOPS:
+        if frag in kind:
+            return peak
+    return None
+
+
+def mlp_step_flops(batch: int, data_dim: int, latent_dim: int,
+                   enc_features, dec_features, dual: bool) -> int:
+    """Analytic matmul FLOPs for ONE training step of the MLP VAE.
+
+    Formula (matmul terms only): a Dense forward (B,k)·(k,n) costs 2·B·k·n
+    FLOPs; the backward pass adds dX (2·B·k·n) and dW (2·B·k·n) at the same
+    cost — training multiplier 3. The sigmoid dataset's dual decoder runs
+    two decoder stacks. Elementwise work (reparam, ELBO, Adam) is excluded:
+    the denominator counts MXU terms only, so ``mfu_pct`` reads as
+    systolic-array utilization — for the VPU-bound tiny configs it is
+    honestly low (docs/architecture.md speed-of-light accounting).
+    """
+    def net(in_dim, feats):
+        fl, d = 0, in_dim
+        for f in feats:
+            fl += 2 * batch * d * f
+            d = f
+        return fl
+
+    fwd = net(data_dim, enc_features)
+    fwd += net(latent_dim, dec_features) * (2 if dual else 1)
+    return 3 * fwd
+
+
+def conv_step_flops(batch: int, image_hwc, latent_dim: int, channels) -> int:
+    """Analytic matmul FLOPs for ONE training step of the conv VAE.
+
+    Conv2D 3×3 stride 2 at output (B,Ho,Wo,Cout) costs 2·B·Ho·Wo·9·Cin·Cout;
+    ConvTranspose 3×3 stride 2 costs 2·B·Hi·Wi·9·Cin·Cout (each input pixel
+    feeds 9 taps). Dense layers as in mlp_step_flops. Training ×3.
+    Mirrors models/conv.py: enc = [Conv(ch) for ch in channels] + Dense(mu);
+    dec = Dense + [ConvTranspose] over reversed(channels) + UpOut.
+    """
+    h, w, c = image_hwc
+    k2 = 9
+    fwd = 0
+    # encoder convs
+    cin, hh, ww = c, h, w
+    for ch in channels:
+        hh, ww = hh // 2, ww // 2
+        fwd += 2 * batch * hh * ww * k2 * cin * ch
+        cin = ch
+    fwd += 2 * batch * (hh * ww * cin) * latent_dim  # FCmu
+    # decoder: Dense in, then transposed stack back up
+    dec_ch = tuple(reversed(channels))
+    n_up = len(dec_ch)
+    h0, w0 = h // (2 ** n_up), w // (2 ** n_up)
+    fwd += 2 * batch * latent_dim * (h0 * w0 * dec_ch[0])  # FCin
+    cin, hh, ww = dec_ch[0], h0, w0
+    for ch in dec_ch[1:]:
+        fwd += 2 * batch * hh * ww * k2 * cin * ch
+        cin, hh, ww = ch, hh * 2, ww * 2
+    fwd += 2 * batch * hh * ww * k2 * cin * c  # UpOut
+    return 3 * fwd
+
+
+def workload_flops_per_step(config: str, obj) -> float:
+    """FLOPs per MEASURED step of the benchmark workload. Grid configs
+    count aggregate row-steps, so this is the average per row-step across
+    the family's mixed-dimension rows."""
+    if config in GRID_FAMILIES:
+        total = rows = 0
+        for g in obj.groups:
+            m = g.model
+            total += len(g.seeds) * mlp_step_flops(
+                g.cfg.batch_size, g.data_dim, g.latent_dim,
+                m.encoder_features, m.decoder_features,
+                m.dual_sigmoid_decoder)
+            rows += len(g.seeds)
+        return total / rows
+    if config == "conv":
+        m = obj.model
+        return conv_step_flops(obj.cfg.batch_size, m.image_hwc,
+                               m.latent_dim, m.channels)
+    m = obj.model
+    return mlp_step_flops(obj.cfg.batch_size, obj.dataset.dimension,
+                          m.latent_dim, m.encoder_features,
+                          m.decoder_features, m.dual_sigmoid_decoder)
+
+
 METRIC_NAMES = {
     "linear": "linear_vae_train_steps_per_sec_per_chip",
     "sigmoid": "sigmoid_vae_train_steps_per_sec_per_chip",
@@ -315,6 +417,7 @@ def main() -> int:
     enable_compile_cache()
     log(f"devices: {jax.devices()}")
     trainer = None
+    measured = None  # the workload object FLOPs accounting reads dims from
     if args.config in GRID_FAMILIES:
         try:
             sweep = build_grid(args.kernels, args.precision,
@@ -329,9 +432,11 @@ def main() -> int:
                 return 2
             raise
         steps_per_sec = measure_grid(sweep)
+        measured = sweep
     elif args.config == "conv":
         conv_trainer, dataset = build_conv()
         steps_per_sec = measure_conv(conv_trainer, dataset)
+        measured = conv_trainer
     else:
         try:
             trainer = build(args.kernels, args.config, args.precision,
@@ -345,7 +450,19 @@ def main() -> int:
             trainer = build("xla", args.config, args.precision,
                             args.adam_dtype)
             steps_per_sec = measure(trainer)
+    if measured is None:
+        measured = trainer
     log(f"steps/sec: {steps_per_sec:.0f}")
+    # Compute denominator: analytic matmul FLOPs/step + MFU vs the chip's
+    # bf16 peak — turns "N steps/s" into a claim with a denominator. Null
+    # mfu off-TPU / on unknown chips; flops_per_step is always emitted.
+    flops_per_step = workload_flops_per_step(args.config, measured)
+    peak = device_peak_flops()
+    mfu_pct = (round(100.0 * steps_per_sec * flops_per_step / peak, 2)
+               if peak else None)
+    log(f"flops/step: {flops_per_step:.4g}; "
+        f"achieved: {steps_per_sec * flops_per_step / 1e12:.3f} TFLOP/s; "
+        f"mfu: {mfu_pct}%")
     if args.latency:
         if trainer is not None:
             latency_mode(trainer)
@@ -366,6 +483,8 @@ def main() -> int:
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec",
                 "vs_baseline": vs,
+                "flops_per_step": round(flops_per_step),
+                "mfu_pct": mfu_pct,
             }
         )
     )

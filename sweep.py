@@ -10,6 +10,10 @@ sweep costs a handful of kernel compiles instead of 21× cold starts.
     python sweep.py linear   # 21 runs of seed_linpadding_expts.sh
     python sweep.py sigmoid  # 18 runs of sigmoid_vae_padding_expts.sh
     python sweep.py sphere   # 15 runs of sphere_vae_padding_expts.sh
+
+Multi-host: ``--shard K/N`` trains a disjoint round-robin share of the
+sweep, so N hosts each run one process — zero collectives, no distributed
+runtime (docs/architecture.md, Scale-out).
 """
 
 from __future__ import annotations
@@ -160,9 +164,32 @@ SWEEP_SEEDS = {"linear": [2, 3, 4], "sigmoid": [69, 24, 48],
                "sphere": [69, 24, 48]}
 
 
+def parse_shard(spec: str):
+    """``'K/N'`` → (k, n). Sweeps have ZERO cross-row communication, so the
+    multi-host shape is N INDEPENDENT processes (one per host/slice), each
+    training a disjoint share — no distributed runtime, no collectives, no
+    shared-filesystem requirement beyond the output dir. Round-robin by
+    position so shards stay balanced across the mixed-dimension rows."""
+    if not spec:
+        return 0, 1
+    try:
+        k_s, n_s = spec.split("/", 1)
+        k, n = int(k_s), int(n_s)
+    except ValueError:
+        raise SystemExit(f"--shard expects 'K/N', got {spec!r}")
+    if n < 1 or not 0 <= k < n:
+        raise SystemExit(f"--shard {spec!r}: need 0 <= K < N")
+    return k, n
+
+
+def shard_items(items, shard):
+    k, n = shard
+    return [x for i, x in enumerate(items) if i % n == k]
+
+
 def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
                 mesh: str = "", resume: bool = False,
-                adam_dtype: str = "f32") -> int:
+                adam_dtype: str = "f32", shard=(0, 1)) -> int:
     """Max-speed sweep: each row's seeds train as ONE grid launch (the
     fused pallas grid kernel where eligible), reusing the reference run
     names. The linear sweep's 21 runs collapse to 7 launches. With
@@ -177,6 +204,16 @@ def run_grouped(sweep: str, data_dir: str, num_batches, kernels: str,
                              adam_dtype):
         key = (cfg.dataset_dimension, cfg.padding_dim, cfg.latent_dimension)
         rows.setdefault(key, {})[cfg.dataset_seed] = cfg
+    if shard != (0, 1):
+        # --shard K/N partitions the ROW GROUPS (each group = one
+        # (dd,pd,ld) row x all seeds, the one-launch unit) round-robin
+        keep = shard_items(list(rows), shard)
+        rows = {k: rows[k] for k in keep}
+        print(f"[sweep] shard {shard[0]}/{shard[1]}: "
+              f"{len(rows)} row groups {sorted(rows)}", flush=True)
+        if not rows:
+            print("[sweep] shard owns no rows; nothing to do", flush=True)
+            return 0
 
     if kernels in ("auto", "pallas"):
         # Fastest shape: the WHOLE sweep (every mixed-dim row × every seed)
@@ -303,7 +340,17 @@ def main(argv=None) -> int:
                    help="Summarize a FINISHED sweep from its artifacts "
                         "(per-row final loss + padding channel + "
                         "converged?); host-only, touches no device.")
+    p.add_argument("--shard", default="",
+                   help="'K/N': train only this process's round-robin share "
+                        "of the sweep (row groups with --grouped, runs "
+                        "otherwise). Sweeps have zero cross-row "
+                        "communication, so the multi-host shape is N "
+                        "independent sweep.py processes, one per "
+                        "host/slice — no distributed runtime needed; "
+                        "shards write disjoint run directories. Ignored by "
+                        "--report (which summarizes the whole sweep).")
     args = p.parse_args(argv)
+    shard = parse_shard(args.shard)
 
     if args.report:
         return run_report(args.sweep, args.data_dir)
@@ -317,7 +364,7 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         rc = run_grouped(args.sweep, args.data_dir, args.num_batches,
                          args.kernels, mesh=args.mesh, resume=args.resume,
-                         adam_dtype=args.adam_dtype)
+                         adam_dtype=args.adam_dtype, shard=shard)
         print(f"[sweep] grouped {args.sweep} in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
         return rc
@@ -329,8 +376,14 @@ def main(argv=None) -> int:
         from run import main as run_one
 
         runner = run_one
-    for cfg in sweep_configs(args.sweep, args.data_dir, args.num_batches,
-                             args.kernels, args.adam_dtype):
+    all_cfgs = list(sweep_configs(args.sweep, args.data_dir,
+                                  args.num_batches, args.kernels,
+                                  args.adam_dtype))
+    cfgs = shard_items(all_cfgs, shard)
+    if shard != (0, 1):
+        print(f"[sweep] shard {shard[0]}/{shard[1]}: {len(cfgs)} of "
+              f"{len(all_cfgs)} runs", flush=True)
+    for cfg in cfgs:
         cfg.checkpoint_every = args.checkpoint_every
         t1 = time.perf_counter()
         if args.isolate:

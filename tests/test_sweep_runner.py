@@ -192,3 +192,46 @@ def test_report_summarizes_artifacts(tmp_path, monkeypatch, capsys):
     shutil.rmtree(os.path.join(str(tmp_path), "vae3linear_gaussian_12dim3"))
     assert sweep_mod.run_report("linear", str(tmp_path)) == 1
     assert "MISSING" in capsys.readouterr().out
+
+
+def test_shard_parsing_and_partition():
+    assert sweep_mod.parse_shard("") == (0, 1)
+    assert sweep_mod.parse_shard("0/4") == (0, 4)
+    assert sweep_mod.parse_shard("3/4") == (3, 4)
+    for bad in ("4/4", "-1/2", "2", "a/b"):
+        with pytest.raises(SystemExit):
+            sweep_mod.parse_shard(bad)
+    # round-robin partition: disjoint, order-preserving, exhaustive
+    items = list(range(21))
+    parts = [sweep_mod.shard_items(items, (k, 3)) for k in range(3)]
+    assert sorted(sum(parts, [])) == items
+    assert all(not set(a) & set(b)
+               for i, a in enumerate(parts) for b in parts[i + 1:])
+    # every config of the linear sweep lands in exactly one shard
+    cfgs = list(sweep_mod.sweep_configs("linear", "d", None, "auto"))
+    names = [c.name for c in cfgs]
+    got = sum((
+        [c.name for c in sweep_mod.shard_items(cfgs, (k, 4))]
+        for k in range(4)), [])
+    assert sorted(got) == sorted(names)
+
+
+@pytest.mark.slow
+def test_grouped_sweep_shards_cover_disjoint_row_groups(tmp_path, capsys):
+    """--shard K/N with --grouped: the shards' run directories are disjoint
+    and their union equals the full 21-run linear sweep — the multi-host
+    sweep shape (N independent processes, zero collectives)."""
+    full = {c.name for c in sweep_mod.sweep_configs("linear", "x", 60, "xla")}
+    seen = set()
+    for k in range(2):
+        rc = sweep_mod.run_grouped("linear", str(tmp_path), 60, "xla",
+                                   shard=(k, 2))
+        assert rc == 0
+        dirs = {d for d in os.listdir(tmp_path)
+                if os.path.isdir(os.path.join(tmp_path, d))}
+        new = dirs - seen
+        assert new, f"shard {k} trained nothing"
+        for d in new:
+            assert os.path.exists(os.path.join(tmp_path, d, "losses.npz")), d
+        seen = dirs
+    assert seen == full
