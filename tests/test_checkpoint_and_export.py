@@ -442,3 +442,85 @@ def test_orbax_old_promoted_not_deleted_before_new_save(tmp_outdir):
     assert checkpoint_exists(out)
     restored = restore_checkpoint(out, jax.device_get(trainer.state))
     assert int(restored.step) == 5
+
+
+def test_checkpoint_retention_keeps_prev(tmp_outdir):
+    """Each msgpack save sets the previous {ckpt, aux, meta} trio aside as
+    .prev (grid rollback depends on it); a same-step re-save must not
+    clobber a meaningful .prev with a duplicate."""
+    from vae_training_tpu.runio.checkpoint import (
+        read_checkpoint_meta,
+        restore_checkpoint_aux,
+        restore_checkpoint_prev,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "ret")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    s10 = jax.device_get(trainer.state)
+    save_checkpoint(out, trainer.state, aux={"tag": 10})
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    save_checkpoint(out, trainer.state, aux={"tag": 20})
+
+    assert read_checkpoint_meta(out)["step"] == 20
+    assert read_checkpoint_meta(out, prev=True)["step"] == 10
+    prev = restore_checkpoint_prev(out, s10)
+    assert int(prev.step) == 10
+    assert tree_equal(prev.params, s10.params)
+    assert restore_checkpoint_aux(out, prev=True)["tag"] == 10
+    assert restore_checkpoint_aux(out)["tag"] == 20
+
+    # same-step re-save: current updates, .prev untouched
+    save_checkpoint(out, trainer.state, aux={"tag": 21})
+    assert read_checkpoint_meta(out, prev=True)["step"] == 10
+    assert restore_checkpoint_aux(out, prev=True)["tag"] == 10
+    assert restore_checkpoint_aux(out)["tag"] == 21
+
+
+def test_restore_falls_back_to_prev_when_current_missing(tmp_outdir):
+    """A kill between the retention set-aside and the install leaves only
+    the .prev trio; restore_checkpoint and checkpoint_exists must honor it."""
+    from vae_training_tpu.runio.checkpoint import (
+        CKPT_NAME,
+        META_NAME,
+        checkpoint_exists,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "retk")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    s10 = jax.device_get(trainer.state)
+    save_checkpoint(out, trainer.state)
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    save_checkpoint(out, trainer.state)
+
+    os.remove(os.path.join(out, CKPT_NAME))
+    os.remove(os.path.join(out, META_NAME))
+    assert checkpoint_exists(out)
+    got = restore_checkpoint(out, s10)
+    assert int(got.step) == 10
+    assert tree_equal(got.params, s10.params)
+
+
+def test_promote_prev_checkpoint_installs_prev(tmp_outdir):
+    """Grid rollback's promotion: the .prev trio becomes CURRENT, so the
+    save ordering guard no longer sees the discarded newer step."""
+    from vae_training_tpu.runio.checkpoint import (
+        promote_prev_checkpoint,
+        read_checkpoint_meta,
+        restore_checkpoint_aux,
+    )
+
+    trainer, out, _ = build(tmp_outdir, "prom")
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    s10 = jax.device_get(trainer.state)
+    save_checkpoint(out, trainer.state, aux={"tag": 10})
+    trainer.state, _ = trainer.fns.train_chunk(trainer.state, 10)
+    save_checkpoint(out, trainer.state, aux={"tag": 20})
+
+    promote_prev_checkpoint(out)
+    assert read_checkpoint_meta(out)["step"] == 10
+    assert restore_checkpoint_aux(out)["tag"] == 10
+    got = restore_checkpoint(out, s10)
+    assert int(got.step) == 10
+    # a post-rollback save at a step below the discarded 20 must land
+    save_checkpoint(out, trainer.state.replace(step=15))
+    assert read_checkpoint_meta(out)["step"] == 15

@@ -345,3 +345,95 @@ def test_grid_states_equal_solo_trainer_states(tmp_outdir):
         np.testing.assert_array_equal(
             np.asarray(grid._eval_data_roots)[i],
             np.asarray(solo._eval_data_root), err_msg=f"seed {s} eval root")
+
+
+@pytest.mark.slow  # two full 400-step sweeps + resume e2e (~60 s on 1 core)
+def test_grid_restore_rolls_back_skewed_row(tmp_outdir):
+    """SIGKILL skew (multihost preemption): one row's newest checkpoint is
+    a save event ahead of the rest of the grid. restore() must roll it back
+    to its retained .prev checkpoint at the grid's common step, PROMOTE the
+    .prev trio (so the discarded newer step can't wedge the save ordering
+    guard), and the finished run's artifacts must equal an uninterrupted
+    sweep's."""
+    from vae_training_tpu.runio.checkpoint import (
+        CKPT_NAME,
+        PREV_SUFFIX,
+        read_checkpoint_meta,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from vae_training_tpu.train.grid import fetch_grid_rows
+
+    seeds = [2, 3]
+
+    def drive(data_dir, die_at=None):
+        cfg = make_cfg(data_dir, num_batches=400, n_print=100, n_plot=200)
+        trainer = GridTrainer(cfg, seeds)
+        outdirs = []
+        for s in seeds:
+            sub = cfg.__class__(**{**cfg.to_json_dict()})
+            sub.dataset_seed = s
+            outdirs.append(make_output_dir(f"grid_seed{s}", True, sub,
+                                           data_dir=data_dir))
+        if die_at is not None:
+            orig = trainer.compute_and_write_stats
+
+            def dying_stats():
+                if trainer.batchnum == die_at:
+                    raise KeyboardInterrupt
+                orig()
+
+            trainer.compute_and_write_stats = dying_stats
+            with pytest.raises(KeyboardInterrupt):
+                trainer.train(outdirs)
+            return cfg, outdirs
+        trainer.train(outdirs)
+        trainer.save_all(outdirs, final=True)
+        return cfg, outdirs
+
+    dir_a = os.path.join(tmp_outdir, "straight")
+    dir_b = os.path.join(tmp_outdir, "skewed")
+    _, outs_a = drive(dir_a)
+    cfg_b, outs_b = drive(dir_b, die_at=300)  # durable saves at step 200
+
+    # Fabricate the skew the kill produces: row 0's owner flushed the NEXT
+    # save event (step 400) before dying, row 1's didn't.
+    cfg_b.resume = "rows"
+    resumed = GridTrainer(cfg_b, seeds)
+    template = fetch_grid_rows(resumed.state_grid, [0], len(seeds))[0]
+    row0 = restore_checkpoint(outs_b[0], template)
+    assert int(row0.step) == 200
+    save_checkpoint(outs_b[0], row0.replace(step=400))
+    assert read_checkpoint_meta(outs_b[0])["step"] == 400
+    assert read_checkpoint_meta(outs_b[0], prev=True)["step"] == 200
+
+    resumed.restore(outs_b)
+    assert resumed.batchnum == 200
+    assert resumed._skip_events_at == 200
+    # the rolled-back row's .prev trio was promoted to CURRENT
+    assert read_checkpoint_meta(outs_b[0])["step"] == 200
+    assert not os.path.exists(
+        os.path.join(outs_b[0], CKPT_NAME + PREV_SUFFIX))
+
+    resumed.train(outs_b)
+    resumed.save_all(outs_b, final=True)
+
+    for oa, ob in zip(outs_a, outs_b):
+        za = np.load(os.path.join(oa, "losses.npz"), allow_pickle=True)
+        zb = np.load(os.path.join(ob, "losses.npz"), allow_pickle=True)
+        assert set(za.files) == set(zb.files)
+        for k in za.files:
+            np.testing.assert_array_equal(
+                np.asarray(za[k], dtype=np.float64),
+                np.asarray(zb[k], dtype=np.float64), err_msg=k)
+    # post-rollback saves landed: the resumed run's final checkpoint step
+    # is the run length, not the discarded 400
+    assert read_checkpoint_meta(outs_b[0])["step"] == 400  # final save at num_batches
+
+
+def test_grid_rejects_orbax_backend(tmp_outdir):
+    """--ckpt_backend orbax must not be silently dropped to msgpack by the
+    grid (rows checkpoint through the retention-capable msgpack path)."""
+    cfg = make_cfg(tmp_outdir, ckpt_backend="orbax")
+    with pytest.raises(NotImplementedError, match="msgpack"):
+        GridTrainer(cfg, seeds=[2, 3])

@@ -542,3 +542,96 @@ def test_multihost_pallas_grid_kernel_bitwise(tmp_path):
         owned.append(stdout.split("PALLAS-GRID-OK")[1].strip())
     # the two processes owned disjoint halves of the grid
     assert owned[0] != owned[1]
+
+
+GRID_PRE_ARGS = [
+    "--dataset", "linear_gaussian", "--encoder_layer_sizes", "",
+    "--layer_sizes", "", "--latent_dim", "8", "--padding_dim", "3",
+    "-dd", "3", "--epsilon", "-1", "-tdv", "-ds", "2", "-lr", "1e-3",
+    "--kernels", "xla", "--batch_size", "32", "--mesh", "dp=8",
+    "--n_print", "50", "--n_plot", "100",
+    "--seed_grid", ",".join(str(s) for s in GRID_SEEDS),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo CPU collectives")
+def test_multihost_seed_grid_sigkill_resume_matches_uninterrupted(tmp_path):
+    """Multihost GRID fault tolerance e2e: SIGKILL both processes of a
+    --multihost --seed_grid run mid-training, --resume the pair, and every
+    row's losses.npz equals an uninterrupted 2-process run's. The two
+    processes flush their rows' checkpoints independently, so the kill can
+    strand rows one save event apart — the retained .prev checkpoints plus
+    GridTrainer.restore's rollback-to-common-step absorb that skew."""
+    import json
+    import signal
+    import time
+
+    out = str(tmp_path)
+    row_dirs = [os.path.join(out, f"mhgp_seed{s}") for s in GRID_SEEDS]
+
+    procs = _popen_multihost(
+        "mhgp", out, [*GRID_PRE_ARGS, "-ow", "--num_batches", "100000"],
+        _free_port())
+    try:
+        deadline, ok = time.time() + 300, False
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break  # a child died early — fail below with its stderr
+            steps = []
+            for d in row_dirs:
+                try:
+                    with open(os.path.join(d, "ckpt_meta.json")) as f:
+                        steps.append(json.load(f)["step"])
+                except Exception:
+                    steps = None
+                    break
+            # kill at an observed-consistent point: every row durable at
+            # the SAME step. (Any skew that still slips in between this
+            # read and the SIGKILL is what the rollback handles.)
+            if steps and len(set(steps)) == 1 and steps[0] >= 100:
+                ok = True
+                break
+            time.sleep(0.2)
+        for p in procs:
+            assert p.poll() is None, (
+                f"grid child exited early:\n{p.communicate()[1][-3000:]}")
+        assert ok, "rows never reached a common durable step >= 100"
+        for p in procs:
+            p.send_signal(signal.SIGKILL)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+            p.communicate()
+
+    # resume target: 100 steps past the newest COMMON durable step
+    steps = []
+    for d in row_dirs:
+        with open(os.path.join(d, "ckpt_meta.json")) as f:
+            steps.append(json.load(f)["step"])
+    target = min(steps) + 100
+
+    results = _run_multihost(
+        "mhgp", out, mesh="", mesh_flag=False,
+        base_args=[*GRID_PRE_ARGS, "--num_batches", str(target),
+                   "--resume", "rows"])
+    for rc, stdout, stderr in results:
+        assert rc == 0, f"grid resume child failed:\n{stdout}\n{stderr[-3000:]}"
+
+    full = _run_multihost(
+        "mhgf", out, mesh="", mesh_flag=False,
+        base_args=[*GRID_PRE_ARGS, "-ow", "--num_batches", str(target)])
+    for rc, stdout, stderr in full:
+        assert rc == 0, f"grid full child failed:\n{stdout}\n{stderr[-3000:]}"
+
+    for s in GRID_SEEDS:
+        a = np.load(os.path.join(out, f"mhgp_seed{s}", "losses.npz"),
+                    allow_pickle=True)
+        b = np.load(os.path.join(out, f"mhgf_seed{s}", "losses.npz"),
+                    allow_pickle=True)
+        assert set(a.files) == set(b.files), s
+        for k in a.files:
+            np.testing.assert_array_equal(
+                np.asarray(a[k], dtype=np.float64),
+                np.asarray(b[k], dtype=np.float64), err_msg=(s, k))

@@ -23,6 +23,13 @@ from flax import serialization
 CKPT_NAME = "ckpt.msgpack"
 META_NAME = "ckpt_meta.json"
 AUX_NAME = "ckpt_aux.pkl"
+# One level of checkpoint retention: each msgpack save sets the previous
+# {ckpt, aux, meta} trio aside under this suffix instead of overwriting it.
+# Grid fault tolerance depends on it — a SIGKILL can land between two rows'
+# (or two processes') checkpoint flushes, leaving rows one save event apart;
+# the .prev trio of the row that got ahead is exactly at the grid's common
+# step, so GridTrainer.restore can roll it back (train/grid.py:restore).
+PREV_SUFFIX = ".prev"
 
 _async_executor = None
 # One writer at a time per process: the plot-cadence sync save and the
@@ -49,12 +56,19 @@ def _executor():
     return _async_executor
 
 
-def _read_meta(dirname: str) -> Optional[dict]:
+def _read_meta(dirname: str, prev: bool = False) -> Optional[dict]:
+    name = META_NAME + (PREV_SUFFIX if prev else "")
     try:
-        with open(os.path.join(dirname, META_NAME)) as f:
+        with open(os.path.join(dirname, name)) as f:
             return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def read_checkpoint_meta(dirname: str, prev: bool = False) -> Optional[dict]:
+    """The checkpoint's metadata dict (step, backend, extras), or None.
+    ``prev=True`` reads the retained previous save's metadata."""
+    return _read_meta(dirname, prev=prev)
 
 
 def _write_aux(dirname: str, aux, suffix: str) -> None:
@@ -72,13 +86,15 @@ def _write_aux(dirname: str, aux, suffix: str) -> None:
     os.replace(tmp, aux_path)
 
 
-def restore_checkpoint_aux(dirname: str) -> Optional[dict]:
+def restore_checkpoint_aux(dirname: str, prev: bool = False) -> Optional[dict]:
     """Host-side run state saved alongside the checkpoint (None for
-    checkpoints written before aux existed)."""
+    checkpoints written before aux existed). ``prev=True`` reads the
+    retained previous save's aux (grid rollback)."""
     import pickle
 
+    name = AUX_NAME + (PREV_SUFFIX if prev else "")
     try:
-        with open(os.path.join(dirname, AUX_NAME), "rb") as f:
+        with open(os.path.join(dirname, name), "rb") as f:
             return pickle.load(f)
     except OSError:
         return None
@@ -101,22 +117,42 @@ def save_checkpoint(dirname: str, state, extra_meta: Optional[dict] = None,
         # Never replace a newer checkpoint with an older one (a queued async
         # save can run after a later sync save — possibly via the OTHER
         # backend; the shared meta file is the ordering authority).
-        prev = _read_meta(dirname)
-        if prev is not None and prev.get("step", -1) > meta["step"]:
+        cur = _read_meta(dirname)
+        if cur is not None and cur.get("step", -1) > meta["step"]:
             return path
+        # Stage EVERYTHING first, then retain, then install: a kill at any
+        # point leaves either the old trio, the old trio under .prev, or the
+        # new trio — never a directory without a restorable checkpoint
+        # (restore_checkpoint falls back to .prev if the current ckpt file
+        # is missing mid-swap).
         tmp = path + suffix
         with open(tmp, "wb") as f:
             f.write(payload)
-        os.replace(tmp, path)
+        atmp = None
         if aux is not None:
             # stamp the step: the three files are individually atomic but
             # not jointly — a kill between replaces pairs a newer state
             # with stale aux; consumers compare aux["step"] to the restored
             # state's step and fall back to a state-only resume on mismatch
-            _write_aux(dirname, {**aux, "step": meta["step"]}, suffix)
+            import pickle
+
+            atmp = os.path.join(dirname, AUX_NAME) + suffix
+            with open(atmp, "wb") as f:
+                pickle.dump({**aux, "step": meta["step"]}, f)
         mtmp = meta_path + suffix
         with open(mtmp, "w") as f:
             json.dump(meta, f)
+        # Retention: set the current trio aside as .prev before installing
+        # (only when this save genuinely advances the step — a same-step
+        # re-save must not clobber a meaningful .prev with a duplicate).
+        if cur is not None and cur.get("step", -1) < meta["step"]:
+            for p in (path, os.path.join(dirname, AUX_NAME), meta_path):
+                if os.path.exists(p):
+                    os.replace(p, p + PREV_SUFFIX)
+        # Install; meta last — it is the ordering authority.
+        os.replace(tmp, path)
+        if atmp is not None:
+            os.replace(atmp, os.path.join(dirname, AUX_NAME))
         os.replace(mtmp, meta_path)
     return path
 
@@ -184,14 +220,48 @@ def restore_checkpoint(dirname: str, state_template):
         pass  # fall through to the msgpack read below
     elif not os.path.exists(msgpack_path) and have_orbax:
         return restore_checkpoint_orbax(dirname, state_template)
+    if (not os.path.exists(msgpack_path)
+            and os.path.exists(msgpack_path + PREV_SUFFIX)):
+        # killed between the retention set-aside and the install: the
+        # retained trio is the only complete checkpoint
+        msgpack_path += PREV_SUFFIX
     with open(msgpack_path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(state_template, data)
 
 
+def restore_checkpoint_prev(dirname: str, state_template):
+    """Restore the RETAINED previous msgpack checkpoint (the save before the
+    newest one). Raises OSError if no .prev checkpoint exists. Used by the
+    grid rollback path when a SIGKILL left rows at different steps."""
+    path = os.path.join(dirname, CKPT_NAME + PREV_SUFFIX)
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(state_template, data)
+
+
+def promote_prev_checkpoint(dirname: str) -> None:
+    """Install the retained .prev trio as the CURRENT checkpoint, discarding
+    the newer save (grid rollback: the newer save belongs to a killed run's
+    future that the rest of the grid never reached — left in place, its
+    meta step would make the ordering guard refuse every subsequent save).
+
+    Order meta → aux → ckpt: meta is the ordering authority, so dropping it
+    first means a kill mid-promotion leaves a state the NEXT restore handles
+    (ckpt still newer than meta ⇒ the rollback path re-engages off the
+    still-present .prev members; each os.replace is atomic)."""
+    for name in (META_NAME, AUX_NAME, CKPT_NAME):
+        p = os.path.join(dirname, name)
+        pv = p + PREV_SUFFIX
+        if os.path.exists(pv):
+            os.replace(pv, p)
+
+
 def checkpoint_exists(dirname: str) -> bool:
     orbax = os.path.join(dirname, ORBAX_NAME)
-    return (os.path.exists(os.path.join(dirname, CKPT_NAME))
+    msgpack = os.path.join(dirname, CKPT_NAME)
+    return (os.path.exists(msgpack)
+            or os.path.exists(msgpack + PREV_SUFFIX)
             or os.path.exists(orbax) or os.path.exists(orbax + ".old"))
 
 

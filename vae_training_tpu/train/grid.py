@@ -180,6 +180,15 @@ class GridTrainer:
                 "--seed_grid supports the gaussian latent distribution "
                 "(the CLI forces gaussian like the reference, run.py:41)"
             )
+        if getattr(cfg, "ckpt_backend", "msgpack") != "msgpack":
+            raise NotImplementedError(
+                "--seed_grid checkpoints every row through the msgpack "
+                "path: its .prev retention is what lets restore roll "
+                "skew-killed rows back to the grid's common step "
+                "(rollback has no orbax implementation, and N tensorstore "
+                "directories per save event would serialize the async "
+                "writer); --ckpt_backend orbax is a solo-run option"
+            )
         # cfg.resume for grid runs means "resume every row from its own
         # output dir" — run_seed_grid calls restore(outdirs) after building
         # the per-seed directories.
@@ -770,15 +779,25 @@ class GridTrainer:
     def _eps_array(self):
         """The per-row decoder log-variance as a device operand. Each
         process only tracks ``current_epsilon`` for rows it owns, so in
-        multi-process runs the array is assembled ROW-SHARDED: device_put
-        onto the dp sharding takes each process's addressable slices from
-        its local copy — the stale non-owned entries never reach a device."""
+        multi-process runs the array is assembled ROW-SHARDED from each
+        process's ADDRESSABLE shards of its local copy — the stale
+        non-owned entries never reach a device. (A plain device_put of the
+        host value would require the value to be identical on every
+        process — jax asserts it — which it deliberately is not.)"""
         eps = np.asarray(
             [float(np.asarray(e).reshape(-1)[0]) for e in self.current_epsilon],
             np.float32,
         )
         if jax.process_count() > 1:
-            return jax.device_put(eps, NamedSharding(self.mesh, P("dp")))
+            sharding = NamedSharding(self.mesh, P("dp"))
+            shape = (len(self.seeds),)
+            shards = [
+                jax.device_put(eps[idx], d)
+                for d, idx in
+                sharding.addressable_devices_indices_map(shape).items()
+            ]
+            return jax.make_array_from_single_device_arrays(
+                shape, sharding, shards)
         return jnp.asarray(eps)
 
     def save_all(self, outdirs, final=False):
@@ -846,10 +865,12 @@ class GridTrainer:
         original end on the pallas path (the finished run had an event
         boundary at its last step); the XLA path is per-step fold_in and
         bit-exact under any chunking."""
-        import json
-
-        from ..runio.checkpoint import (checkpoint_exists, restore_checkpoint,
-                                        restore_checkpoint_aux)
+        from ..runio.checkpoint import (checkpoint_exists,
+                                        promote_prev_checkpoint,
+                                        read_checkpoint_meta,
+                                        restore_checkpoint,
+                                        restore_checkpoint_aux,
+                                        restore_checkpoint_prev)
         from ..utils.process import check_shared_fs
 
         check_shared_fs(all(checkpoint_exists(o) for o in outdirs),
@@ -862,18 +883,61 @@ class GridTrainer:
         template = fetch_grid_rows(
             self.state_grid, [self._owned_rows[0]], len(self.seeds)
         )[self._owned_rows[0]]
+        # Pass 1: every row's NEWEST checkpoint.
         restored, steps = [], []
-        for i, out in enumerate(outdirs):
+        for out in outdirs:
             state_i = restore_checkpoint(out, template)
             steps.append(int(state_i.step))
             restored.append(state_i)
-            meta_path = os.path.join(out, "ckpt_meta.json")
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    meta = json.load(f)
-                if "current_epsilon" in meta:
-                    self.current_epsilon[i] = meta["current_epsilon"]
-            aux = restore_checkpoint_aux(out)
+        # Pass 2 — rollback to the newest COMMON step. Rows save through
+        # per-process FIFO writers, so a SIGKILL (multihost preemption) can
+        # land between two rows' — or two processes' — flushes, stranding
+        # rows one save event apart. All rows save at the same events, so
+        # the retained .prev checkpoint of a row that got ahead is exactly
+        # at the common step; roll it back instead of refusing to resume.
+        target = min(steps)
+        rolled = [i for i, s in enumerate(steps) if s != target]
+        for i in rolled:
+            out = outdirs[i]
+            try:
+                prev_state = restore_checkpoint_prev(out, template)
+            except OSError:
+                prev_state = None
+            prev_step = None if prev_state is None else int(prev_state.step)
+            if prev_step != target:
+                raise ValueError(
+                    f"grid rows checkpointed at different steps "
+                    f"{sorted(set(steps))}, and {out} (step {steps[i]}) has "
+                    f"no retained previous checkpoint at the common step "
+                    f"{target} (found: {prev_step}). A kill between row "
+                    f"flushes skews rows by at most one save event — this "
+                    f"is further; resume rows solo with "
+                    f"--resume <name>_seed<N>")
+            print(f"[resume] {self._proc_prefix}{out}: rolling back from "
+                  f"step {steps[i]} to the grid's common step {target} "
+                  f"(retained .prev checkpoint)", flush=True)
+            restored[i] = prev_state
+            steps[i] = target
+        rolled_set = set(rolled)
+        # Pass 3: meta (current_epsilon) + aux (recorder history, host key
+        # chain) — the .prev versions for rolled-back rows, with a fallback
+        # to the current files when a previous rollback's promotion was
+        # itself interrupted (the trio self-heals: any member already
+        # promoted carries the target step).
+        for i, out in enumerate(outdirs):
+            use_prev = i in rolled_set
+            meta = read_checkpoint_meta(out, prev=use_prev)
+            if meta is None or meta.get("step") != steps[i]:
+                # the other version may hold the matching step (a kill mid
+                # retention/promotion, or pass 1 falling back to .prev)
+                meta = read_checkpoint_meta(out, prev=not use_prev)
+            if meta is not None and meta.get("step") != steps[i]:
+                meta = None
+            if meta and "current_epsilon" in meta:
+                self.current_epsilon[i] = meta["current_epsilon"]
+            aux = restore_checkpoint_aux(out, prev=use_prev)
+            if aux is None or aux.get("step") != steps[i]:
+                aux = restore_checkpoint_aux(out, prev=not use_prev)
             if aux is not None and aux.get("step", steps[i]) != steps[i]:
                 print(f"[resume] {out}: aux is from step {aux['step']}, "
                       f"state is at {steps[i]}; resuming this row without "
@@ -893,11 +957,21 @@ class GridTrainer:
                         1 + len(self.recorders[0].var_enc)))
                     if aux.get("events_fired_at_step", False):
                         self._skip_events_at = steps[0]
-        if len(set(steps)) != 1:
-            raise ValueError(
-                f"grid rows checkpointed at different steps {sorted(set(steps))}; "
-                "resume rows solo with --resume <name>_seed<N>"
-            )
+        # Promote the rolled-back rows' .prev trios to CURRENT — left in
+        # place, the newer save's meta step would make the ordering guard
+        # refuse every subsequent checkpoint of the resumed run. Every
+        # process computed the same rollback set from the same (shared-FS)
+        # files; the barrier keeps any promotion from racing another
+        # process's reads above, and each row is promoted only by its owner
+        # (the one process that will ever write it again).
+        if rolled:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("vae_grid_rollback")
+            for i in rolled:
+                if jax.process_count() == 1 or i in self._owned_rows:
+                    promote_prev_checkpoint(outdirs[i])
         self.batchnum = steps[0]
         self.state_grid = stack_pytrees(restored)
         if self.mesh is not None:
