@@ -2,8 +2,10 @@
 
 The framework installs as a library (``pip install -e .``) with console
 entry points (``vae-train``/``vae-sweep``/``vae-bench``/``vae-sample``)
-while the repo-root scripts keep working verbatim as the public API (they
-ship as top-level modules, so ``vae-train`` IS ``python run.py``). The
+targeting ``vae_training_tpu._scripts``; the repo-root scripts keep
+working verbatim as the public API from a checkout (they alias the same
+modules, so ``vae-train`` IS ``python run.py``) and the wheel claims no
+generic top-level module names. The
 install goes into an isolated ``--prefix`` so the test never mutates the
 ambient environment, and ``--no-deps --no-build-isolation`` keeps it fully
 offline (every dependency is baked into the image).
@@ -61,13 +63,22 @@ def test_pip_editable_install_and_entry_points(tmp_path):
         )
         assert out.returncode == 0, (argv, out.stderr[-2000:])
         assert needle in out.stdout, (argv, out.stdout[:2000])
-    # the installed package is importable from a clean interpreter
+    # the installed package (incl. the CLI implementations) is importable
+    # from a clean interpreter — and the install claims NO generic
+    # top-level module names: `import run` must fail away from a checkout
+    # (editable installs map only vae_training_tpu*)
     out = subprocess.run(
         [str(bin_dir / "python"), "-c",
-         "import vae_training_tpu, run, sweep, bench, sample; "
-         "print('import-ok')"],
+         "import vae_training_tpu\n"
+         "from vae_training_tpu._scripts import run, sweep, bench, sample\n"
+         "try:\n"
+         "    import importlib; importlib.import_module('run')\n"
+         "except ImportError:\n"
+         "    print('import-ok')\n"
+         "else:\n"
+         "    print('generic-name-leaked')"],
         env=env, capture_output=True, text=True, timeout=300,
         cwd=str(tmp_path),
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "import-ok" in out.stdout
+    assert "import-ok" in out.stdout, out.stdout[-2000:]

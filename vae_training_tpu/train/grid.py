@@ -72,16 +72,31 @@ def stack_pytrees(trees):
 
 def fetch_grid_rows(tree, rows, n_rows: int):
     """Host copies ``{row: pytree_row}`` of grid rows from a tree whose
-    array leaves lead with the row axis, touching only ADDRESSABLE shards.
+    array leaves lead with the row axis (of length ``n_rows``), touching
+    only ADDRESSABLE shards.
 
     The multi-process grid shards the seed axis across processes;
     ``jax.device_get`` of the full global array would fail on the shards
     other processes own, so every host-side consumer (stats, saves, plots,
     loss recording) goes through this instead — each process fetches
     exactly the rows it owns. Single-process, every shard is addressable
-    and ``rows`` covers the whole grid."""
+    and ``rows`` covers the whole grid, so the fetch is ONE batched
+    ``device_get`` of the tree — the per-shard path would issue a
+    serialized host transfer per (leaf × shard), a dispatch-RTT multiplier
+    on the remote-tunnel runtime (CLAUDE.md's ~29 ms p50)."""
     want = set(rows)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if getattr(leaf, "ndim", 1) >= 1 and leaf.shape[0] != n_rows:
+            raise ValueError(
+                f"fetch_grid_rows: leaf row axis {leaf.shape[0]} != grid "
+                f"size {n_rows}")
+    if jax.process_count() == 1:
+        host = [np.asarray(l) for l in jax.device_get(leaves)]
+        return {
+            r: jax.tree_util.tree_unflatten(treedef, [l[r] for l in host])
+            for r in sorted(want)
+        }
     per_leaf = []
     for leaf in leaves:
         got = {}
@@ -873,8 +888,12 @@ class GridTrainer:
                                         restore_checkpoint_prev)
         from ..utils.process import check_shared_fs
 
-        check_shared_fs(all(checkpoint_exists(o) for o in outdirs),
-                        outdirs[0], what="grid row checkpoints")
+        # per-ROW visibility: with per-host disks every process sees only
+        # its own rows, and a single all() aggregate would agree on False
+        # everywhere and wave the guard through (see check_shared_fs)
+        check_shared_fs([checkpoint_exists(o) for o in outdirs],
+                        os.path.dirname(outdirs[0]) or outdirs[0],
+                        what="grid row checkpoints")
         # One owned row serves as the restore template for EVERY row (all
         # rows share shapes/dtypes). Multi-process: each process restores
         # all rows from disk to rebuild the full grid — like the solo
@@ -957,21 +976,30 @@ class GridTrainer:
                         1 + len(self.recorders[0].var_enc)))
                     if aux.get("events_fired_at_step", False):
                         self._skip_events_at = steps[0]
+        # Every process must finish READING the checkpoint files before ANY
+        # process may mutate them — the promotion below, or the resumed
+        # run's first save after restore returns. Without this, a fast
+        # process that restored rolled=[] could land a post-restore save
+        # (whose retention moves the common-step trio to .prev) while a
+        # slow process is still in Pass 1, making the two derive DIFFERENT
+        # rollback sets — one of them then blocks forever in a barrier the
+        # other never enters, or raises a spurious skew error. The barrier
+        # is therefore UNCONDITIONAL (not gated on this process's rolled
+        # set); after it, all reads saw the same static files, so every
+        # process computed the same rollback decisions.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("vae_grid_restore_read")
         # Promote the rolled-back rows' .prev trios to CURRENT — left in
         # place, the newer save's meta step would make the ordering guard
-        # refuse every subsequent checkpoint of the resumed run. Every
-        # process computed the same rollback set from the same (shared-FS)
-        # files; the barrier keeps any promotion from racing another
-        # process's reads above, and each row is promoted only by its owner
-        # (the one process that will ever write it again).
-        if rolled:
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
-
-                multihost_utils.sync_global_devices("vae_grid_rollback")
-            for i in rolled:
-                if jax.process_count() == 1 or i in self._owned_rows:
-                    promote_prev_checkpoint(outdirs[i])
+        # refuse every subsequent checkpoint of the resumed run. Each row
+        # is promoted only by its owner (the one process that will ever
+        # write it again), so promotions never race another process's
+        # saves either.
+        for i in rolled:
+            if jax.process_count() == 1 or i in self._owned_rows:
+                promote_prev_checkpoint(outdirs[i])
         self.batchnum = steps[0]
         self.state_grid = stack_pytrees(restored)
         if self.mesh is not None:
