@@ -246,14 +246,18 @@ def test_multihost_preemption_sigkill_resume_matches_uninterrupted(tmp_path):
     pair with --resume, and assert the final losses.npz is identical to an
     uninterrupted 2-process run of the same length (checkpoints carry the
     full host-side run state; the dp key streams are per-step fold_in and
-    therefore kill-point independent)."""
+    therefore kill-point independent). msgpack only BY DESIGN: orbax saves
+    are collective across processes and deadlock against the primary-only
+    write discipline — config.validate rejects that combination
+    (test_multihost_orbax_backend_rejected)."""
     import json
     import signal
     import time
 
     out = str(tmp_path)
+    args = PRE_ARGS
     procs = _popen_multihost(
-        "mhpre", out, [*PRE_ARGS, "-ow", "--num_batches", "100000"],
+        "mhpre", out, [*args, "-ow", "--num_batches", "100000"],
         _free_port())
     ckpt_meta = os.path.join(out, "mhpre", "ckpt_meta.json")
     try:
@@ -287,14 +291,14 @@ def test_multihost_preemption_sigkill_resume_matches_uninterrupted(tmp_path):
 
     results = _run_multihost(
         "mhpre", out, mesh="", mesh_flag=False,
-        base_args=[*PRE_ARGS, "--num_batches", str(target),
+        base_args=[*args, "--num_batches", str(target),
                    "--resume", os.path.join(out, "mhpre")])
     for rc, stdout, stderr in results:
         assert rc == 0, f"resume child failed:\n{stdout}\n{stderr[-2000:]}"
 
     full = _run_multihost(
         "mhfull", out, mesh="", mesh_flag=False,
-        base_args=[*PRE_ARGS, "-ow", "--num_batches", str(target)])
+        base_args=[*args, "-ow", "--num_batches", str(target)])
     for rc, stdout, stderr in full:
         assert rc == 0, f"full-run child failed:\n{stdout}\n{stderr[-2000:]}"
 
@@ -635,3 +639,21 @@ def test_multihost_seed_grid_sigkill_resume_matches_uninterrupted(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(a[k], dtype=np.float64),
                 np.asarray(b[k], dtype=np.float64), err_msg=(s, k))
+
+
+def test_multihost_orbax_backend_rejected():
+    """--ckpt_backend orbax must fail fast under --multihost: orbax's save
+    protocol is collective (every process enters the save; its barrier
+    waits for the rest), which deadlocks against the engine's process-0-
+    only artifact writes — observed as a run that trains forever and never
+    lands a checkpoint. The guard fires at config validation, BEFORE
+    jax.distributed.initialize."""
+    from vae_training_tpu.config import RunConfig
+
+    with pytest.raises(ValueError, match="orbax does not compose"):
+        RunConfig(name="x", dataset="linear_gaussian", multihost=True,
+                  ckpt_backend="orbax").validate()
+    # either alone stays valid
+    RunConfig(name="x", dataset="linear_gaussian",
+              ckpt_backend="orbax").validate()
+    RunConfig(name="x", dataset="linear_gaussian", multihost=True).validate()

@@ -133,6 +133,22 @@ class RunConfig:
         if self.ckpt_backend not in ("msgpack", "orbax"):
             raise ValueError(
                 f"--ckpt_backend must be msgpack|orbax, got {self.ckpt_backend}")
+        if self.ckpt_backend == "orbax" and getattr(self, "multihost", False):
+            # Orbax's save protocol is COLLECTIVE under jax.distributed
+            # (every process must enter StandardCheckpointer.save; its
+            # internal barrier waits for the rest), which deadlocks against
+            # this engine's process-0-owns-artifacts write discipline —
+            # observed as a run that trains forever and never lands a
+            # checkpoint. The msgpack path is the multihost answer: the
+            # state is replicated, process 0 writes it whole, every process
+            # restores from the shared filesystem (which --resume enforces).
+            raise ValueError(
+                "--ckpt_backend orbax does not compose with --multihost: "
+                "orbax saves are collective across processes while this "
+                "engine's artifact writes are process-0-only (a primary-"
+                "gated orbax save deadlocks in its cross-process barrier). "
+                "Use the default msgpack backend for multihost runs."
+            )
         if self.precision not in ("fp32", "bf16"):
             raise ValueError(
                 f"--precision must be fp32|bf16, got {self.precision}")
