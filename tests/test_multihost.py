@@ -255,9 +255,8 @@ def test_multihost_preemption_sigkill_resume_matches_uninterrupted(tmp_path):
     import time
 
     out = str(tmp_path)
-    args = PRE_ARGS
     procs = _popen_multihost(
-        "mhpre", out, [*args, "-ow", "--num_batches", "100000"],
+        "mhpre", out, [*PRE_ARGS, "-ow", "--num_batches", "100000"],
         _free_port())
     ckpt_meta = os.path.join(out, "mhpre", "ckpt_meta.json")
     try:
@@ -291,14 +290,14 @@ def test_multihost_preemption_sigkill_resume_matches_uninterrupted(tmp_path):
 
     results = _run_multihost(
         "mhpre", out, mesh="", mesh_flag=False,
-        base_args=[*args, "--num_batches", str(target),
+        base_args=[*PRE_ARGS, "--num_batches", str(target),
                    "--resume", os.path.join(out, "mhpre")])
     for rc, stdout, stderr in results:
         assert rc == 0, f"resume child failed:\n{stdout}\n{stderr[-2000:]}"
 
     full = _run_multihost(
         "mhfull", out, mesh="", mesh_flag=False,
-        base_args=[*args, "-ow", "--num_batches", str(target)])
+        base_args=[*PRE_ARGS, "-ow", "--num_batches", str(target)])
     for rc, stdout, stderr in full:
         assert rc == 0, f"full-run child failed:\n{stdout}\n{stderr[-2000:]}"
 

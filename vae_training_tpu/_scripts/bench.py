@@ -531,8 +531,19 @@ def supervise(child_argv=None, init_timeout=None, total_timeout=None,
         attempts = int(os.environ.get("VAE_BENCH_ATTEMPTS", "3"))
     retry_delay = float(os.environ.get("VAE_BENCH_RETRY_DELAY", "10"))
     last_code = 1
+    # The -m child resolves vae_training_tpu from ITS sys.path, which for a
+    # bare-script invocation from a foreign cwd (`cd /tmp && python
+    # /repo/bench.py`, package not pip-installed) would not contain the
+    # checkout — thread the package root (three levels above this file;
+    # site-packages when installed, where it is a harmless duplicate)
+    # through the child's PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     for attempt in range(1, attempts + 1):
         env = dict(os.environ, VAE_BENCH_CHILD="1")
+        env["PYTHONPATH"] = (
+            pkg_root + os.pathsep + env["PYTHONPATH"]
+            if env.get("PYTHONPATH") else pkg_root)
         outcome = run_supervised(
             child_argv, init_timeout=init_timeout,
             total_timeout=total_timeout, env=env, stdout_mode="capture",

@@ -35,6 +35,11 @@ def main(cfg: RunConfig) -> int:
     from vae_training_tpu.runio import enable_compile_cache
 
     enable_compile_cache()
+    # Validate BEFORE the distributed handshake: config errors (unknown
+    # dataset, the orbax×multihost rejection, bad mesh specs) must fail
+    # fast on each process rather than after — or worse, inside — a
+    # jax.distributed.initialize that blocks waiting for peers.
+    cfg.validate()
     if cfg.multihost:
         # MUST run before any backend touch (jax.devices() below would
         # otherwise initialize a single-process backend and the mesh could
@@ -58,7 +63,6 @@ def main(cfg: RunConfig) -> int:
     # this stderr line is what distinguishes "initializing slowly" from
     # "hung before device init".
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    cfg.validate()
     if cfg.seed_grid:
         from vae_training_tpu.train.grid import run_seed_grid
 

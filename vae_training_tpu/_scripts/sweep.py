@@ -141,13 +141,21 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
 
     init_timeout = float(os.environ.get("VAE_SWEEP_INIT_TIMEOUT", "180"))
     run_dir = os.path.join(cfg.data_dir, cfg.name)
+    # Same PYTHONPATH threading as bench's supervisor: the -m child must
+    # resolve vae_training_tpu even when the parent was invoked as a bare
+    # script from a foreign cwd with the package not pip-installed.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (pkg_root + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else pkg_root)
     for attempt in range(retries + 1):
         argv = cfg_to_argv(cfg)
         if attempt > 0 and os.path.exists(os.path.join(run_dir, "ckpt.msgpack")):
             argv = [a for a in argv if a != "-ow"] + ["--resume", run_dir]
         outcome = run_supervised(
             [sys.executable, "-m", "vae_training_tpu._scripts.run"] + argv,
-            init_timeout=init_timeout, total_timeout=timeout,
+            init_timeout=init_timeout, total_timeout=timeout, env=env,
             label=f"sweep:{cfg.name}",
             note=f" (attempt {attempt + 1}/{retries + 1})",
             cooldown_after_kill=attempt < retries,
@@ -373,7 +381,7 @@ def main(argv=None) -> int:
     count, failed = 0, []
     runner = None
     if not args.isolate:
-        from run import main as run_one
+        from vae_training_tpu._scripts.run import main as run_one
 
         runner = run_one
     all_cfgs = list(sweep_configs(args.sweep, args.data_dir,
