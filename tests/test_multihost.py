@@ -613,7 +613,30 @@ def test_multihost_seed_grid_sigkill_resume_matches_uninterrupted(tmp_path):
     for d in row_dirs:
         with open(os.path.join(d, "ckpt_meta.json")) as f:
             steps.append(json.load(f)["step"])
-    target = min(steps) + 100
+    common = min(steps)
+    target = common + 100
+
+    # Deterministically exercise the rollback machinery: fabricate on ONE
+    # common-step row exactly what a skewed kill strands — its NEXT save
+    # event durable (step+100) with the common-step trio retained as .prev
+    # (save_checkpoint's retention layout). The resume must roll this row
+    # back to the common step on every process, promote owner-side, and
+    # still produce bit-identical artifacts.
+    from flax import serialization as _ser
+
+    skew_dir = row_dirs[steps.index(common)]
+    with open(os.path.join(skew_dir, "ckpt.msgpack"), "rb") as f:
+        raw = _ser.msgpack_restore(f.read())
+    assert int(np.asarray(raw["step"]).reshape(-1)[0]) == common
+    raw["step"] = np.asarray(raw["step"]) + 100
+    for name in ("ckpt.msgpack", "ckpt_aux.pkl", "ckpt_meta.json"):
+        pth = os.path.join(skew_dir, name)
+        if os.path.exists(pth):
+            os.replace(pth, pth + ".prev")
+    with open(os.path.join(skew_dir, "ckpt.msgpack"), "wb") as f:
+        f.write(_ser.msgpack_serialize(raw))
+    with open(os.path.join(skew_dir, "ckpt_meta.json"), "w") as f:
+        json.dump({"step": common + 100, "backend": "msgpack"}, f)
 
     results = _run_multihost(
         "mhgp", out, mesh="", mesh_flag=False,
@@ -621,6 +644,12 @@ def test_multihost_seed_grid_sigkill_resume_matches_uninterrupted(tmp_path):
                    "--resume", "rows"])
     for rc, stdout, stderr in results:
         assert rc == 0, f"grid resume child failed:\n{stdout}\n{stderr[-3000:]}"
+        # every process detected the skewed row and rolled it back
+        assert "rolling back from step" in stdout, stdout[-2000:]
+    # the discarded fake save must not wedge later checkpoints: the final
+    # save landed at the run length
+    with open(os.path.join(skew_dir, "ckpt_meta.json")) as f:
+        assert json.load(f)["step"] == target
 
     full = _run_multihost(
         "mhgf", out, mesh="", mesh_flag=False,
