@@ -149,9 +149,15 @@ def run_isolated(cfg: RunConfig, timeout: float, retries: int) -> bool:
     env = dict(os.environ)
     env["PYTHONPATH"] = (pkg_root + os.pathsep + env["PYTHONPATH"]
                          if env.get("PYTHONPATH") else pkg_root)
+    from vae_training_tpu.runio.checkpoint import checkpoint_exists
+
     for attempt in range(retries + 1):
         argv = cfg_to_argv(cfg)
-        if attempt > 0 and os.path.exists(os.path.join(run_dir, "ckpt.msgpack")):
+        # checkpoint_exists (not a bare ckpt.msgpack stat): a kill between
+        # the retention set-aside and the install leaves only the .prev
+        # trio, which restore_checkpoint reads — a raw file check would
+        # miss it and RESTART the row with -ow, wiping that last state
+        if attempt > 0 and checkpoint_exists(run_dir):
             argv = [a for a in argv if a != "-ow"] + ["--resume", run_dir]
         outcome = run_supervised(
             [sys.executable, "-m", "vae_training_tpu._scripts.run"] + argv,
